@@ -28,7 +28,7 @@ CORNER_TEMPLATE = np.array(
 ) / 2.0
 
 
-def _dims_to_lwh(boxes: np.ndarray, order: str) -> np.ndarray:
+def _dims_to_lwh(boxes, order: str):
     if order == "lwh":
         return boxes[:, 3:6]
     if order == "hwl":
@@ -36,22 +36,26 @@ def _dims_to_lwh(boxes: np.ndarray, order: str) -> np.ndarray:
     raise ValueError(f"unknown box order {order!r}")
 
 
-def rotate_points_z(points: np.ndarray, angles: np.ndarray) -> np.ndarray:
-    """Rotate (N, P, 3) point sets around z by per-set angles (N,) radians."""
-    c, s = np.cos(angles), np.sin(angles)
-    zeros, ones = np.zeros_like(c), np.ones_like(c)
-    rot = np.stack(
-        [c, s, zeros, -s, c, zeros, zeros, zeros, ones], axis=1
-    ).reshape(-1, 3, 3)
-    return points @ rot
+def rotate_points_z(points, angles, xp=np):
+    """Rotate (N, P, 3) point sets around z by per-set angles (N,) radians.
+
+    Written elementwise (no matmul) on purpose: on TPU a 3x3 matmul would be
+    routed to the MXU at default precision and quantize box coordinates;
+    the VPU path keeps geometry exact in fp32.
+    """
+    c = xp.cos(angles)[:, None]
+    s = xp.sin(angles)[:, None]
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    return xp.stack([x * c - y * s, x * s + y * c, z], axis=-1)
 
 
-def boxes_to_corners_3d(boxes: np.ndarray, order: str = "lwh") -> np.ndarray:
-    """(N, 7) center boxes -> (N, 8, 3) corners."""
-    boxes = np.asarray(boxes, dtype=np.float64)
+def boxes_to_corners_3d(boxes, order: str = "lwh", xp=np):
+    """(N, 7) center boxes -> (N, 8, 3) corners. Works under numpy or jnp."""
+    boxes = xp.asarray(boxes, dtype=np.float64 if xp is np else None)
     dims = _dims_to_lwh(boxes, order)
-    corners = dims[:, None, :] * CORNER_TEMPLATE[None, :, :]
-    corners = rotate_points_z(corners, boxes[:, 6])
+    corners = dims[:, None, :] * xp.asarray(CORNER_TEMPLATE,
+                                            dtype=boxes.dtype)[None, :, :]
+    corners = rotate_points_z(corners, boxes[:, 6], xp)
     return corners + boxes[:, None, 0:3]
 
 
@@ -94,9 +98,9 @@ def corners_to_boxes(corners: np.ndarray, order: str = "lwh") -> np.ndarray:
     return np.concatenate([xyz, dims, theta[:, None]], axis=1)
 
 
-def corners_to_standup(corners: np.ndarray) -> np.ndarray:
+def corners_to_standup(corners, xp=np):
     """(N, K, 2+) corners -> (N, 4) axis-aligned [x1, y1, x2, y2]."""
-    return np.stack(
+    return xp.stack(
         [
             corners[..., 0].min(axis=1),
             corners[..., 1].min(axis=1),
@@ -107,25 +111,31 @@ def corners_to_standup(corners: np.ndarray) -> np.ndarray:
     )
 
 
-def project_corners(corners: np.ndarray, transform: np.ndarray) -> np.ndarray:
-    """Transform (N, 8, 3) corners by a 4x4 matrix."""
+def project_corners(corners, transform, xp=np):
+    """Transform (N, 8, 3) corners by a 4x4 matrix.
+
+    Elementwise broadcast-and-sum instead of matmul for the same TPU
+    precision reason as :func:`rotate_points_z`.
+    """
     n = corners.shape[0]
     pts = corners.reshape(-1, 3)
-    pts = np.hstack([pts, np.ones((pts.shape[0], 1))])
-    return (pts @ np.asarray(transform).T)[:, :3].reshape(n, 8, 3)
+    pts = xp.concatenate([pts, xp.ones((pts.shape[0], 1), pts.dtype)], axis=1)
+    t = xp.asarray(transform, dtype=pts.dtype)
+    out = xp.sum(pts[:, None, :] * t[None, :3, :], axis=-1)
+    return out.reshape(n, 8, 3)
 
 
-def mask_corners_in_range(corners: np.ndarray, limit_range) -> np.ndarray:
+def mask_corners_in_range(corners, limit_range, xp=np):
     """True where every corner's xy lies inside [minx,miny,...,maxx,maxy,...].
 
     Matches the eval-range clip (reference: opencood/utils/box_utils.py:326-369).
     """
-    lo = np.asarray(limit_range[:2])[None, None]
-    hi = np.asarray(limit_range[3:5])[None, None]
-    ok = np.all(corners[:, :, :2] >= lo, axis=-1) & np.all(
+    lo = xp.asarray(limit_range[:2])[None, None]
+    hi = xp.asarray(limit_range[3:5])[None, None]
+    ok = xp.all(corners[:, :, :2] >= lo, axis=-1) & xp.all(
         corners[:, :, :2] <= hi, axis=-1
     )
-    return np.all(ok, axis=-1)
+    return xp.all(ok, axis=-1)
 
 
 def mask_boxes_outside_range(boxes, limit_range, order,
@@ -139,7 +149,7 @@ def mask_boxes_outside_range(boxes, limit_range, order,
     return inside.sum(axis=1) >= min_num_corners
 
 
-def sane_size_mask(corners: np.ndarray, max_len: float = 6.0) -> np.ndarray:
+def sane_size_mask(corners, max_len: float = 6.0):
     """Drop degenerate oversized predictions (x/y extent > max_len).
 
     Mirrors the post-process sanity filter (reference:
@@ -151,8 +161,7 @@ def sane_size_mask(corners: np.ndarray, max_len: float = 6.0) -> np.ndarray:
     return (x_len <= max_len) & (y_len <= max_len) & (y_len > 0)
 
 
-def sane_z_mask(corners: np.ndarray, z_min: float = -3.0,
-                z_max: float = 1.0) -> np.ndarray:
+def sane_z_mask(corners, z_min: float = -3.0, z_max: float = 1.0):
     """Keep boxes fully inside the vertical band [z_min, z_max]."""
     return (corners[:, :, 2].min(axis=1) >= z_min) & (
         corners[:, :, 2].max(axis=1) <= z_max
