@@ -1,0 +1,229 @@
+"""Shared flax building blocks.
+
+All feature maps are NHWC (TPU-native layout).  BatchNorm uses eps=1e-3 /
+momentum 0.99 (the flax equivalent of torch momentum 0.01), matching the
+reference's conv stacks.
+
+The hetero-typed primitives put the modality ("type") axis in front of the
+parameter tensors and gather by the per-agent mode instead of routing rows
+through per-type submodules in Python (reference:
+opencood/models/base_transformer.py:138-192).  This removes all
+data-dependent control flow: a whole hetero block traces to one XLA
+program regardless of the camera/lidar mix.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    use_bias=self.use_bias)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         momentum=0.99)(x)
+        return nn.relu(x)
+
+
+class NaiveDecoder(nn.Module):
+    """Conv-BN-ReLU (xN) decoder with optional nearest x2 upsampling.
+
+    Mirrors the reference decoder topology (reference:
+    opencood/models/sub_modules/naive_decoder.py:28-92): for each level
+    (walked coarse-to-fine) two conv-bn-relu blocks with the upsample after
+    the first.
+    """
+    num_layer: int
+    num_ch_dec: Sequence[int]
+    use_upsample: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.num_layer - 1, -1, -1):
+            ch = self.num_ch_dec[i]
+            x = ConvBNReLU(ch)(x, train)
+            if self.use_upsample:
+                b, h, w, c = x.shape
+                x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+            x = ConvBNReLU(ch)(x, train)
+        return x
+
+
+class NaiveCompressor(nn.Module):
+    """Channel-bottleneck autoencoder simulating V2V bandwidth limits
+    (reference: opencood/models/sub_modules/naive_compress.py:5-28)."""
+    input_dim: int
+    compress_ratio: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNReLU(self.input_dim // self.compress_ratio,
+                       use_bias=True)(x, train)
+        x = ConvBNReLU(self.input_dim, use_bias=True)(x, train)
+        x = ConvBNReLU(self.input_dim, use_bias=True)(x, train)
+        return x
+
+
+class DoubleConv(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride))(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3))(x)
+        return nn.relu(x)
+
+
+class DownsampleConv(nn.Module):
+    """Shrink head: stacked strided DoubleConvs (reference:
+    opencood/models/sub_modules/downsample_conv.py:34-55)."""
+    kernel_sizes: Sequence[int]
+    dims: Sequence[int]
+    strides: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for k, d, s in zip(self.kernel_sizes, self.dims, self.strides):
+            x = DoubleConv(d, kernel=k, stride=s)(x)
+        return x
+
+
+class DetectionHead(nn.Module):
+    """1x1 conv anchor heads -> (psm, rm)."""
+    anchor_number: int
+
+    @nn.compact
+    def __call__(self, x):
+        psm = nn.Conv(self.anchor_number, (1, 1))(x)
+        rm = nn.Conv(7 * self.anchor_number, (1, 1))(x)
+        return psm, rm
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over a point axis where only masked rows are real.
+
+    Statistics are computed over valid entries only (the reference's PFN
+    BatchNorm1d includes zero padding in its stats; masked stats are the
+    mathematically-correct equivalent for our dense pillar path)."""
+    epsilon: float = 1e-3
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        # x: (..., C); mask broadcastable to x[..., 0]
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            m = mask[..., None].astype(x.dtype)
+            denom = jnp.maximum(m.sum(), 1.0)
+            mean = (x * m).sum(axis=tuple(range(x.ndim - 1))) / denom
+            var = (((x - mean) ** 2) * m).sum(
+                axis=tuple(range(x.ndim - 1))
+            ) / denom
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+def hetero_param_gather(params, mode):
+    """Gather per-type parameters by agent mode.
+
+    params: (T, ...) stacked weights; mode: (B, L) int in [0, T).
+    Returns (B, L, ...)."""
+    return jnp.take(params, mode, axis=0)
+
+
+class HeteroDense(nn.Module):
+    """Per-modality Dense applied by weight gathering.
+
+    x: (B, L, ..., din), mode: (B, L) -> (B, L, ..., dout)."""
+    features: int
+    num_types: int = 2
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mode):
+        din = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32,
+                -1.0 / jnp.sqrt(din), 1.0 / jnp.sqrt(din)),
+            (self.num_types, din, self.features),
+        )
+        w = hetero_param_gather(kernel, mode)  # (B, L, din, dout)
+        y = jnp.einsum("bl...d,bldo->bl...o", x, w,
+                       preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.num_types, self.features))
+            b = hetero_param_gather(bias, mode)  # (B, L, dout)
+            y = y + b.reshape(b.shape[0], b.shape[1],
+                              *(1,) * (y.ndim - 3), self.features)
+        return y
+
+
+class HeteroLayerNorm(nn.Module):
+    """LayerNorm with per-modality scale/bias (stacked + gathered)."""
+    num_types: int = 2
+
+    @nn.compact
+    def __call__(self, x, mode):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.num_types, c))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_types, c))
+        mean = x.mean(axis=-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        s = hetero_param_gather(scale, mode)
+        b = hetero_param_gather(bias, mode)
+        shape = (*mode.shape, *(1,) * (x.ndim - 3), c)
+        return y * s.reshape(shape) + b.reshape(shape)
+
+
+class HeteroFeedForward(nn.Module):
+    """Dense-GELU-Dense with per-modality weights."""
+    hidden_dim: int
+    out_dim: int | None = None
+    num_types: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mode, deterministic: bool = True):
+        out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
+        h = HeteroDense(self.hidden_dim, self.num_types)(x, mode)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = HeteroDense(out_dim, self.num_types)(h, mode)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(h)

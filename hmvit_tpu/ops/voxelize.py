@@ -1,0 +1,138 @@
+"""Fused pillar voxelization for PointPillars — on-device, static shapes.
+
+Replaces the reference's CPU spconv ``Point2VoxelCPU3d`` voxelizer
+(reference: opencood/data_utils/pre_processor/sp_voxel_preprocessor.py:34-58)
+plus the per-sample dense scatter loop of PointPillarScatter (reference:
+opencood/models/sub_modules/point_pillar_scatter.py:20-44).  Instead of
+materializing a ragged (V, 32, 4) voxel tensor on the host, raw padded
+points go to the device and the whole pillarize -> featurize -> scatter
+chain is one jitted segment-op program:
+
+  1. per-point pillar id (or an overflow slot for out-of-range/pad points);
+  2. rank-within-pillar via one sort, to honor the max-points-per-pillar
+     cap with the same keep-first-K-in-order semantics as spconv;
+  3. per-pillar sums/counts by ``segment_sum`` for the cluster-mean
+     features;
+  4. after the PFN point MLP, ``segment_max`` scatters directly into the
+     dense (ny*nx, C) BEV grid — voxelizer + VFE + scatter fused, nothing
+     ragged ever exists.
+
+Deviation from spconv (documented): no max_voxels cap — the dense grid
+holds every non-empty pillar, so points the reference would drop once its
+32k/70k voxel budget fills are kept here.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("grid_size", "max_points_per_pillar"))
+def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
+              max_points_per_pillar: int = 32):
+    """Assign points to pillars and compute pillar statistics.
+
+    Parameters
+    ----------
+    points : (P, 4) padded xyz+intensity.
+    points_mask : (P,) 1.0 for real points.
+    voxel_size : (3,) [vx, vy, vz].
+    pc_range : (6,) [x0, y0, z0, x1, y1, z1].
+    grid_size : static (nx, ny) pillar grid extents.
+
+    Returns dict with per-point ``pillar_id`` ((P,), nx*ny = overflow),
+    ``keep`` ((P,) bool, in-range and under the per-pillar cap),
+    ``mean_xyz`` ((P, 3) cluster mean of the point's pillar),
+    ``center_offset`` ((P, 3) offset from the pillar center), and
+    per-pillar ``count`` ((nx*ny,)).
+    """
+    nx, ny = grid_size
+    num_pillars = nx * ny
+    voxel_size = jnp.asarray(voxel_size, jnp.float32)
+    pc_range = jnp.asarray(pc_range, jnp.float32)
+
+    xyz = points[:, :3]
+    gi = jnp.floor((xyz - pc_range[:3]) / voxel_size).astype(jnp.int32)
+    in_range = (
+        (gi[:, 0] >= 0) & (gi[:, 0] < nx)
+        & (gi[:, 1] >= 0) & (gi[:, 1] < ny)
+        & (gi[:, 2] >= 0) & (gi[:, 2] < 1)
+        & (points_mask > 0)
+    )
+    pid = jnp.where(in_range, gi[:, 1] * nx + gi[:, 0], num_pillars)
+
+    # rank of each point within its pillar (original order preserved by a
+    # stable sort), used to enforce the per-pillar point cap
+    order = jnp.argsort(pid, stable=True)
+    sorted_pid = pid[order]
+    p = pid.shape[0]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_pid[1:] != sorted_pid[:-1]]
+    )
+    idx = jnp.arange(p)
+    seg_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(is_new, idx, 0))
+    rank_sorted = idx - seg_start
+    rank = jnp.zeros((p,), jnp.int32).at[order].set(rank_sorted)
+
+    keep = in_range & (rank < max_points_per_pillar)
+    keep_f = keep.astype(jnp.float32)
+
+    # per-pillar statistics over kept points only (cap semantics)
+    count = jax.ops.segment_sum(keep_f, pid, num_segments=num_pillars + 1)
+    sums = jax.ops.segment_sum(xyz * keep_f[:, None], pid,
+                               num_segments=num_pillars + 1)
+    mean_per_pillar = sums / jnp.maximum(count[:, None], 1.0)
+    mean_xyz = mean_per_pillar[pid]
+
+    centers_xy = (gi[:, :2].astype(jnp.float32) + 0.5) * voxel_size[:2] \
+        + pc_range[:2]
+    center_z = 0.5 * voxel_size[2] + pc_range[2]
+    centers = jnp.concatenate(
+        [centers_xy, jnp.full((p, 1), center_z, jnp.float32)], axis=1
+    )
+    return {
+        "pillar_id": pid,
+        "keep": keep,
+        "mean_xyz": mean_xyz,
+        "center_offset": xyz - centers,
+        "count": count[:-1],
+    }
+
+
+def pillar_point_features(points, pillar_info, use_absolute_xyz: bool = True,
+                          with_distance: bool = False):
+    """Per-point 10-dim (or 7/11-dim) pillar features.
+
+    [xyz, intensity, xyz - cluster_mean, xyz - pillar_center(, |xyz|)],
+    zeroed for dropped points — matching the PFN input layout (reference:
+    opencood/models/sub_modules/pillar_vfe.py:105-143).
+    """
+    xyz = points[:, :3]
+    f_cluster = xyz - pillar_info["mean_xyz"]
+    f_center = pillar_info["center_offset"]
+    feats = [points if use_absolute_xyz else points[:, 3:],
+             f_cluster, f_center]
+    if with_distance:
+        feats.append(jnp.linalg.norm(xyz, axis=1, keepdims=True))
+    out = jnp.concatenate(feats, axis=1)
+    return out * pillar_info["keep"][:, None].astype(out.dtype)
+
+
+def scatter_max_to_bev(point_features, pillar_id, keep, grid_size):
+    """Max-pool per-point features into the dense BEV grid.
+
+    point_features: (P, C); returns (ny, nx, C).  Empty pillars are 0
+    (identical to the reference's zero-initialized scatter since the PFN
+    output is post-ReLU, i.e. non-negative).
+    """
+    nx, ny = grid_size
+    num_pillars = nx * ny
+    neg = jnp.where(keep[:, None], point_features,
+                    jnp.full_like(point_features, -jnp.inf))
+    pid = jnp.where(keep, pillar_id, num_pillars)
+    dense = jax.ops.segment_max(neg, pid, num_segments=num_pillars + 1)
+    dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
+    return dense[:-1].reshape(ny, nx, -1)

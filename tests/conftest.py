@@ -1,13 +1,21 @@
-"""Test configuration: force an 8-virtual-device CPU platform so sharding
-tests run without TPU hardware. Must run before jax is imported anywhere."""
+"""Test configuration: force an 8-virtual-device CPU platform so tests are
+hermetic and sharding tests run without TPU hardware.
+
+Note: this environment injects an `axon` TPU PJRT plugin through a
+sitecustomize that runs at interpreter start and overrides JAX_PLATFORMS,
+so the env var alone is NOT enough — jax.config must be updated after
+import (before any backend initialization)."""
 import os
 
-# Force, don't setdefault: the surrounding environment presets
-# JAX_PLATFORMS to the TPU tunnel, and unit tests must be hermetic.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
