@@ -1,0 +1,107 @@
+"""Benchmark: HM-ViT 4-agent mixed-modality inference, frames/sec/chip.
+
+Runs the flagship model at the canonical production scale (lidar range
++-102.4 m, 0.4 m voxels -> 512^2 pillar grid, 4x 512^2 camera images per
+agent, 128^2 x 256 BEV fusion, window 8, 2 H3GAT iterations) on whatever
+single chip `jax.devices()[0]` is, and prints ONE JSON line.
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` is the
+ratio against the 8x-north-star denominator recorded in BASELINE.json —
+i.e. an assumed 2.5 frames/sec/GPU for the reference pipeline (its
+measurement protocol exists but needs reference GPU hardware), so
+vs_baseline >= 8 is the target.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+ASSUMED_REFERENCE_FPS = 2.5
+
+PROD_RANGE = [-102.4, -102.4, -3.0, 102.4, 102.4, 1.0]
+
+PROD_CFG = {
+    "lidar": {
+        "voxel_size": [0.4, 0.4, 4.0],
+        "lidar_range": PROD_RANGE,
+        "anchor_number": 2,
+        "pillar_vfe": {"use_norm": True, "with_distance": False,
+                       "use_absolute_xyz": True, "num_filters": [64]},
+        "point_pillar_scatter": {"num_features": 64,
+                                 "grid_size": [512, 512, 1]},
+        "base_bev_backbone": {
+            "layer_nums": [3, 5, 8],
+            "layer_strides": [2, 2, 2],
+            "num_filters": [64, 128, 256],
+            "upsample_strides": [1, 2, 4],
+            "num_upsample_filter": [128, 128, 128],
+        },
+        "shrink_header": {"kernal_size": [3], "stride": [2], "padding": [1],
+                          "dim": [256], "input_dim": 384},
+    },
+    "camera": {"dim": 128, "bev_size": 32, "out_dim": 256, "num_blocks": 2,
+               "decoder_layers": 2,
+               "encoder_channels": (32, 64, 128, 128)},
+    "compression": 0,
+    "hetero_fusion": {
+        "num_iters": 2,
+        "hetero_fusion_block": {
+            "spatial_transform": {"downsample_rate": 4,
+                                  "voxel_size": [0.4, 0.4, 4.0]},
+            "architect_mode": "sequential",
+            "input_dim": 256,
+            "mlp_dim": 256,
+            "window_size": 8,
+            "dim_head": 32,
+            "drop_out": 0.0,
+        },
+    },
+    "hetero_decoder": {"input_dim": 256, "num_layer": 2,
+                       "num_ch_dec": [256, 256], "anchor_number": 2},
+}
+
+
+def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
+         image_size: int = 512, max_points: int = 30000):
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.data.synthetic import make_hetero_batch
+    from hmvit_tpu.models.hmvit import HMViT
+
+    batch, _ = make_hetero_batch(
+        seed=0, batch_size=1, max_cav=max_cav, num_agents=num_agents,
+        max_points=max_points, image_size=image_size, num_cams=4,
+        camera_ratio=0.5, ego_mode="mixed", lidar_range=PROD_RANGE,
+    )
+    batch["mode"][:, 0] = 1
+    batch["mode"][:, 1] = 0  # guarantee mixed modalities
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = HMViT(PROD_CFG)
+    variables = model.init(jax.random.key(0), batch, train=False)
+
+    @jax.jit
+    def forward(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    out = forward(variables, batch)  # compile + warm
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = iters / dt
+    print(json.dumps({
+        "metric": "frames/sec/chip 4-agent mixed-modality BEV inference",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / ASSUMED_REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

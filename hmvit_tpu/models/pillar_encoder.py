@@ -1,0 +1,144 @@
+"""LiDAR branch: fused PointPillars encoder -> dense BEV features.
+
+Pipeline (all on-device, one jitted program):
+  raw padded points (L, P, 4)
+    -> pillarize (rank-capped pillar assignment, cluster stats)
+    -> per-point PFN MLP (Dense + masked BN + ReLU)
+    -> segment_max scatter into the dense (ny, nx, C) grid
+    -> 2D BEV backbone (3 strided stages + transposed-conv up-fusion)
+    -> shrink conv to the fusion width.
+
+Capability-equivalent to the reference chain PillarVFE ->
+PointPillarScatter -> BaseBEVBackbone -> DownsampleConv (reference:
+opencood/models/point_pillar.py:9-62, sub_modules/pillar_vfe.py:10-146,
+sub_modules/point_pillar_scatter.py:5-48, backbones/base_bev_backbone.py),
+but with the voxelizer on the device and no ragged tensors.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.voxelize import (
+    pillar_point_features,
+    pillarize,
+    scatter_max_to_bev,
+)
+from .layers import ConvBNReLU, DownsampleConv, MaskedBatchNorm
+
+
+class PillarFeatureNet(nn.Module):
+    """Per-point MLP + max-pool scatter (PFN fused with the scatter).
+
+    Processes the whole fleet's clouds in ONE set of segment ops via
+    globally-offset pillar ids — no per-cloud loop or vmap."""
+    num_filters: Sequence[int]
+    voxel_size: Sequence[float]
+    pc_range: Sequence[float]
+    grid_size: Sequence[int]  # (nx, ny)
+    max_points_per_pillar: int = 32
+    use_absolute_xyz: bool = True
+    with_distance: bool = False
+
+    @nn.compact
+    def __call__(self, points, points_mask, train: bool = False):
+        """points: (N, P, 4), points_mask: (N, P) -> BEV (N, ny, nx, C)."""
+        grid = (int(self.grid_size[0]), int(self.grid_size[1]))
+        n_clouds = points.shape[0]
+        info = pillarize(points, points_mask, tuple(self.voxel_size),
+                         tuple(self.pc_range), grid,
+                         self.max_points_per_pillar)
+        flat_points = points.reshape(-1, points.shape[-1])
+        feats = pillar_point_features(flat_points, info,
+                                      self.use_absolute_xyz,
+                                      self.with_distance)
+        keep = info["keep"]
+
+        n_layers = len(self.num_filters)
+        for i, out_ch in enumerate(self.num_filters):
+            last = i == n_layers - 1
+            units = out_ch if last else out_ch // 2
+            feats = nn.Dense(units, use_bias=False)(feats)
+            feats = MaskedBatchNorm()(feats, keep, train)
+            feats = nn.relu(feats)
+            feats = feats * keep[:, None].astype(feats.dtype)
+            if not last:
+                # concat per-pillar max back onto each point
+                num_pillars = n_clouds * grid[0] * grid[1]
+                neg = jnp.where(keep[:, None], feats, -jnp.inf)
+                pmax = jax.ops.segment_max(neg, info["pillar_id"],
+                                           num_segments=num_pillars + 1)
+                pmax = jnp.where(jnp.isfinite(pmax), pmax, 0.0)
+                feats = jnp.concatenate([feats, pmax[info["pillar_id"]]],
+                                        axis=-1)
+
+        return scatter_max_to_bev(feats, info["pillar_id"], keep, grid,
+                                  n_clouds)
+
+
+class BEVBackbone(nn.Module):
+    """Multi-scale 2D conv backbone with transposed-conv up-fusion."""
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[int]
+    num_upsample_filters: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ups = []
+        for i, n_layers in enumerate(self.layer_nums):
+            x = ConvBNReLU(self.num_filters[i],
+                           stride=self.layer_strides[i])(x, train)
+            for _ in range(n_layers):
+                x = ConvBNReLU(self.num_filters[i])(x, train)
+            s = self.upsample_strides[i]
+            if s >= 1:
+                u = nn.ConvTranspose(self.num_upsample_filters[i], (s, s),
+                                     strides=(s, s), use_bias=False)(x)
+            else:
+                inv = int(round(1 / s))
+                u = nn.Conv(self.num_upsample_filters[i], (inv, inv),
+                            strides=(inv, inv), use_bias=False)(x)
+            u = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             momentum=0.99)(u)
+            ups.append(nn.relu(u))
+        return jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+
+
+class PointPillarEncoder(nn.Module):
+    """points (N, P, 4) + mask (N, P) -> BEV features (N, H', W', C)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, points, points_mask, train: bool = False):
+        cfg = self.config
+        bev = PillarFeatureNet(
+            num_filters=cfg["pillar_vfe"]["num_filters"],
+            voxel_size=cfg["voxel_size"],
+            pc_range=cfg["lidar_range"],
+            grid_size=cfg["point_pillar_scatter"]["grid_size"][:2],
+            use_absolute_xyz=cfg["pillar_vfe"].get("use_absolute_xyz", True),
+            with_distance=cfg["pillar_vfe"].get("with_distance", False),
+        )(points, points_mask, train)
+
+        bb = cfg["base_bev_backbone"]
+        x = BEVBackbone(
+            layer_nums=bb["layer_nums"],
+            layer_strides=bb["layer_strides"],
+            num_filters=bb["num_filters"],
+            upsample_strides=bb["upsample_strides"],
+            num_upsample_filters=bb["num_upsample_filter"],
+        )(bev, train)
+
+        if "shrink_header" in cfg:
+            sh = cfg["shrink_header"]
+            x = DownsampleConv(
+                kernel_sizes=sh["kernal_size"],
+                dims=sh["dim"],
+                strides=sh["stride"],
+            )(x)
+        return x

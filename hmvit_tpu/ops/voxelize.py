@@ -36,20 +36,32 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
 
     Parameters
     ----------
-    points : (P, 4) padded xyz+intensity.
-    points_mask : (P,) 1.0 for real points.
+    points : (P, 4) or (N, P, 4) padded xyz+intensity.  With a leading
+        cloud axis, pillar ids are globally offset by cloud index so the
+        whole fleet shares ONE set of segment ops (no vmap, no loop).
+    points_mask : (P,) / (N, P) 1.0 for real points.
     voxel_size : (3,) [vx, vy, vz].
     pc_range : (6,) [x0, y0, z0, x1, y1, z1].
     grid_size : static (nx, ny) pillar grid extents.
 
-    Returns dict with per-point ``pillar_id`` ((P,), nx*ny = overflow),
-    ``keep`` ((P,) bool, in-range and under the per-pillar cap),
-    ``mean_xyz`` ((P, 3) cluster mean of the point's pillar),
-    ``center_offset`` ((P, 3) offset from the pillar center), and
-    per-pillar ``count`` ((nx*ny,)).
+    Returns dict with flat per-point ``pillar_id`` ((N*P,), global;
+    N*nx*ny = overflow), ``keep`` ((N*P,) bool, in-range and under the
+    per-pillar cap), ``mean_xyz`` ((N*P, 3) cluster mean of the point's
+    pillar), ``center_offset`` ((N*P, 3) offset from the pillar center),
+    ``num_clouds``, and per-pillar ``count`` ((N*nx*ny,)).
     """
     nx, ny = grid_size
-    num_pillars = nx * ny
+    if points.ndim == 3:
+        n_clouds, pts_per = points.shape[:2]
+        cloud_idx = jnp.repeat(jnp.arange(n_clouds, dtype=jnp.int32),
+                               pts_per)
+        points = points.reshape(-1, points.shape[-1])
+        points_mask = points_mask.reshape(-1)
+    else:
+        n_clouds = 1
+        cloud_idx = jnp.zeros((points.shape[0],), jnp.int32)
+
+    num_pillars = n_clouds * nx * ny
     voxel_size = jnp.asarray(voxel_size, jnp.float32)
     pc_range = jnp.asarray(pc_range, jnp.float32)
 
@@ -61,7 +73,11 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         & (gi[:, 2] >= 0) & (gi[:, 2] < 1)
         & (points_mask > 0)
     )
-    pid = jnp.where(in_range, gi[:, 1] * nx + gi[:, 0], num_pillars)
+    pid = jnp.where(
+        in_range,
+        cloud_idx * (nx * ny) + gi[:, 1] * nx + gi[:, 0],
+        num_pillars,
+    )
 
     # rank of each point within its pillar (original order preserved by a
     # stable sort), used to enforce the per-pillar point cap
@@ -99,6 +115,7 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         "mean_xyz": mean_xyz,
         "center_offset": xyz - centers,
         "count": count[:-1],
+        "num_clouds": n_clouds,
     }
 
 
@@ -121,18 +138,20 @@ def pillar_point_features(points, pillar_info, use_absolute_xyz: bool = True,
     return out * pillar_info["keep"][:, None].astype(out.dtype)
 
 
-def scatter_max_to_bev(point_features, pillar_id, keep, grid_size):
+def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
+                       num_clouds: int = 1):
     """Max-pool per-point features into the dense BEV grid.
 
-    point_features: (P, C); returns (ny, nx, C).  Empty pillars are 0
-    (identical to the reference's zero-initialized scatter since the PFN
-    output is post-ReLU, i.e. non-negative).
+    point_features: (P, C) flat over all clouds; returns
+    (num_clouds, ny, nx, C).  Empty pillars are 0 (identical to the
+    reference's zero-initialized scatter since the PFN output is
+    post-ReLU, i.e. non-negative).
     """
     nx, ny = grid_size
-    num_pillars = nx * ny
+    num_pillars = num_clouds * nx * ny
     neg = jnp.where(keep[:, None], point_features,
                     jnp.full_like(point_features, -jnp.inf))
     pid = jnp.where(keep, pillar_id, num_pillars)
     dense = jax.ops.segment_max(neg, pid, num_segments=num_pillars + 1)
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
-    return dense[:-1].reshape(ny, nx, -1)
+    return dense[:-1].reshape(num_clouds, ny, nx, -1)

@@ -154,6 +154,26 @@ def _gather_nchw(src, yy, xx, w):
     return jnp.take_along_axis(flat, idx, axis=2).reshape(n, c, out_h, out_w)
 
 
+def warp_affine_nhwc(src, m, dsize, mode: str = "bilinear"):
+    """Channel-last variant of :func:`warp_affine` (src: (N, H, W, C)).
+
+    Gathers whole C-vectors per output pixel — the natural TPU layout
+    (lanes along channels)."""
+    out = warp_affine(jnp.moveaxis(src, -1, 1), m, dsize, mode)
+    return jnp.moveaxis(out, 1, -1)
+
+
+def warp_bev_nhwc(features, transform, discrete_ratio: float,
+                  downsample_rate: float, mode: str = "bilinear"):
+    """Warp (..., H, W, C) BEV maps by (..., 4, 4) per-map transforms."""
+    *batch, h, w, c = features.shape
+    m = discretize_transform(transform, discrete_ratio, downsample_rate)
+    t = centered_affine(m.reshape(-1, 2, 3).astype(jnp.float32), (h, w))
+    flat = features.reshape(-1, h, w, c)
+    out = warp_affine_nhwc(flat, t, (h, w), mode)
+    return out.reshape(*batch, h, w, c)
+
+
 def warp_bev(features, transform, discrete_ratio: float,
              downsample_rate: float, mode: str = "bilinear"):
     """Warp (B, L, C, H, W) BEV maps by per-agent (B, L, 4, 4) transforms.

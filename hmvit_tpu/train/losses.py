@@ -1,0 +1,82 @@
+"""Detection losses.
+
+Numerics match the reference PointPillarLoss (reference:
+opencood/loss/point_pillar_loss.py:68-208): sigmoid focal classification
+(alpha 0.25, gamma 2) normalized by positive count, weighted smooth-L1
+regression (beta 1/9) with sin-difference angle encoding.
+Pure jnp — composable under jit/grad/pjit.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sigmoid_focal_loss(logits, targets, weights, alpha=0.25, gamma=2.0):
+    """Elementwise focal loss on logits; weights broadcast over classes."""
+    pred = 1.0 / (1.0 + jnp.exp(-logits))
+    alpha_w = targets * alpha + (1.0 - targets) * (1.0 - alpha)
+    pt = targets * (1.0 - pred) + (1.0 - targets) * pred
+    focal_w = alpha_w * jnp.power(pt, gamma)
+    bce = (
+        jnp.clip(logits, 0, None)
+        - logits * targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    return focal_w * bce * weights
+
+
+def weighted_smooth_l1(pred, target, weights, beta=1.0 / 9.0):
+    target = jnp.where(jnp.isnan(target), pred, target)
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff**2 / beta, diff - 0.5 * beta)
+    return loss * weights[..., None]
+
+
+def add_sin_difference(pred, target, dim=6):
+    """Replace the raw angle channel with sin(a-b) factorization."""
+    sin_enc = jnp.sin(pred[..., dim:dim + 1]) * jnp.cos(
+        target[..., dim:dim + 1]
+    )
+    cos_enc = jnp.cos(pred[..., dim:dim + 1]) * jnp.sin(
+        target[..., dim:dim + 1]
+    )
+    pred = jnp.concatenate(
+        [pred[..., :dim], sin_enc, pred[..., dim + 1:]], axis=-1
+    )
+    target = jnp.concatenate(
+        [target[..., :dim], cos_enc, target[..., dim + 1:]], axis=-1
+    )
+    return pred, target
+
+
+def point_pillar_loss(output, labels, cls_weight=1.0, reg_weight=2.0):
+    """Total detection loss.
+
+    output: {'psm': (B, A, H, W), 'rm': (B, 7A, H, W)} logits;
+    labels: {'pos_equal_one': (B, H, W, A), 'targets': (B, H, W, 7A)}.
+    Returns (total, {'conf_loss', 'reg_loss'}).
+    """
+    psm, rm = output["psm"], output["rm"]
+    b = psm.shape[0]
+
+    cls_labels = labels["pos_equal_one"].reshape(b, -1)
+    positives = cls_labels > 0
+    pos_normalizer = jnp.clip(positives.sum(axis=1, keepdims=True), 1.0,
+                              None).astype(jnp.float32)
+    cls_weights = jnp.ones_like(cls_labels) / pos_normalizer
+    reg_weights = positives.astype(jnp.float32) / pos_normalizer
+
+    cls_preds = jnp.transpose(psm, (0, 2, 3, 1)).reshape(b, -1, 1)
+    one_hot = cls_labels[..., None]
+    conf = sigmoid_focal_loss(cls_preds, one_hot, cls_weights[..., None])
+    conf_loss = conf.sum() / b * cls_weight
+
+    rm_flat = jnp.transpose(rm, (0, 2, 3, 1)).reshape(b, -1, 7)
+    targets = labels["targets"].reshape(b, -1, 7)
+    rm_sin, tgt_sin = add_sin_difference(rm_flat, targets)
+    reg = weighted_smooth_l1(rm_sin, tgt_sin, reg_weights)
+    reg_loss = reg.sum() / b * reg_weight
+
+    total = conf_loss + reg_loss
+    return total, {"conf_loss": conf_loss, "reg_loss": reg_loss,
+                   "total_loss": total}

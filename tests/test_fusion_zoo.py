@@ -1,0 +1,73 @@
+"""Fusion zoo: uniform interface, shapes, masking invariants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hmvit_tpu.models.fusion import (
+    AttFusion,
+    DiscoNetFusion,
+    SpatialFusion,
+    SwapFusionEncoder,
+    V2VNetFusion,
+)
+
+B, L, H, W, C = 1, 3, 16, 16, 32
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, L, H, W, C)).astype(np.float32))
+    mode = jnp.asarray(np.array([[0, 1, 1]]))
+    pairwise = jnp.asarray(
+        np.tile(np.eye(4, dtype=np.float32), (B, L, L, 1, 1))
+    )
+    agent_mask = jnp.asarray(np.ones((B, L), np.float32))
+    return x, mode, pairwise, agent_mask
+
+
+MODULES = [
+    ("fcooper", lambda: SpatialFusion(discrete_ratio=1.0,
+                                      downsample_rate=1)),
+    ("att", lambda: AttFusion(C, discrete_ratio=1.0, downsample_rate=1)),
+    ("disconet", lambda: DiscoNetFusion(C, discrete_ratio=1.0,
+                                        downsample_rate=1)),
+    ("v2vnet", lambda: V2VNetFusion(C, num_rounds=1, discrete_ratio=1.0,
+                                    downsample_rate=1)),
+    ("swap", lambda: SwapFusionEncoder(C, depth=1, window=4, dim_head=8,
+                                       discrete_ratio=1.0,
+                                       downsample_rate=1)),
+]
+
+
+@pytest.mark.parametrize("name,factory", MODULES)
+def test_fusion_interface_and_masking(name, factory):
+    x, mode, pairwise, agent_mask = make_inputs()
+    module = factory()
+    variables = module.init(jax.random.key(0), x, mode, pairwise, agent_mask)
+    out = module.apply(variables, x, mode, pairwise, agent_mask)
+    assert out.shape == (B, H, W, C)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # a masked-out agent's features must not leak into the ego output
+    mask2 = jnp.asarray(np.array([[1, 1, 0]], np.float32))
+    base = module.apply(variables, x, mode, pairwise, mask2)
+    poisoned = module.apply(variables, x.at[:, 2].set(777.0), mode,
+                            pairwise, mask2)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(poisoned),
+                               atol=2e-4)
+
+    # a live agent's features must influence the ego output
+    out2 = module.apply(variables, x.at[:, 1].add(1.0), mode, pairwise,
+                        agent_mask)
+    assert np.abs(np.asarray(out2 - out)).max() > 1e-4
+
+
+def test_fcooper_is_masked_max():
+    x, mode, pairwise, agent_mask = make_inputs()
+    module = SpatialFusion(discrete_ratio=1.0, downsample_rate=1)
+    variables = module.init(jax.random.key(0), x, mode, pairwise,
+                            agent_mask)
+    out = module.apply(variables, x, mode, pairwise, agent_mask)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x.max(axis=1)), atol=1e-5)

@@ -1,0 +1,200 @@
+"""H3GAT fusion block and full HM-ViT model: shapes, masking, mixing."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hmvit_tpu.models.hetero_fusion import (
+    HeteroFusion,
+    HeteroFusionBlock,
+    _window_merge,
+    _window_split,
+)
+
+B, L, H, W, C = 1, 3, 16, 16, 32
+FUSION_CFG = {
+    "num_iters": 2,
+    "spatial_transform": {"downsample_rate": 1, "voxel_size": [1.0, 1.0, 4]},
+    "hetero_fusion_block": {
+        "spatial_transform": {"downsample_rate": 1,
+                              "voxel_size": [1.0, 1.0, 4]},
+        "architect_mode": "sequential",
+        "input_dim": C,
+        "mlp_dim": C,
+        "agent_size": L,
+        "window_size": 4,
+        "dim_head": 8,
+        "drop_out": 0.0,
+        "mask": True,
+    },
+}
+
+
+def make_inputs(seed=0, mode=None):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, L, H, W, C)).astype(np.float32)
+    mode = np.array([[0, 1, 0]]) if mode is None else np.asarray(mode)
+    pairwise = np.tile(np.eye(4, dtype=np.float32), (B, L, L, 1, 1))
+    agent_mask = np.ones((B, L), np.float32)
+    return (jnp.asarray(x), jnp.asarray(mode), jnp.asarray(pairwise),
+            jnp.asarray(agent_mask))
+
+
+def test_window_split_merge_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 8, 5)))
+    for style in ("local", "grid"):
+        sp = _window_split(x, 4, style)
+        assert sp.shape == (2, 4, 2, 16, 5)
+        back = _window_merge(sp, 4, style, 16, 8)
+        np.testing.assert_allclose(back, x)
+
+
+def test_fusion_block_shapes_and_finite():
+    x, mode, pairwise, agent_mask = make_inputs()
+    block = HeteroFusionBlock(input_dim=C, mlp_dim=C, window_size=4,
+                              dim_head=8, discrete_ratio=1.0,
+                              downsample_rate=1)
+    variables = block.init(jax.random.key(0), x, mode, pairwise, agent_mask)
+    out = block.apply(variables, x, mode, pairwise, agent_mask)
+    assert out.shape == (B, L, H, W, C)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fusion_mixes_agents():
+    """Changing a sender's features must change the ego's fused output."""
+    x, mode, pairwise, agent_mask = make_inputs()
+    fusion = HeteroFusion(FUSION_CFG)
+    variables = fusion.init(jax.random.key(0), x, mode, pairwise, agent_mask)
+    base = fusion.apply(variables, x, mode, pairwise, agent_mask)
+
+    # perturb a single channel — a uniform shift would be invisible to the
+    # block's pre-LayerNorm
+    x2 = x.at[:, 2, :, :, 0].add(3.0)
+    out2 = fusion.apply(variables, x2, mode, pairwise, agent_mask)
+    assert np.abs(np.asarray(out2 - base)).max() > 1e-4
+
+
+def test_padded_agents_do_not_leak():
+    """Masked (padded) agent slots must not influence the ego output."""
+    x, mode, pairwise, _ = make_inputs()
+    agent_mask = jnp.asarray(np.array([[1, 1, 0]], np.float32))
+    fusion = HeteroFusion(FUSION_CFG)
+    variables = fusion.init(jax.random.key(0), x, mode, pairwise, agent_mask)
+    base = fusion.apply(variables, x, mode, pairwise, agent_mask)
+
+    x_garbage = x.at[:, 2].set(999.0)
+    out = fusion.apply(variables, x_garbage, mode, pairwise, agent_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-4)
+
+
+def test_hetero_type_weights_matter():
+    """Flipping an agent's modality must reroute it through different
+    typed weights and change the result."""
+    x, _, pairwise, agent_mask = make_inputs()
+    fusion = HeteroFusion(FUSION_CFG)
+    mode_a = jnp.asarray(np.array([[0, 1, 0]]))
+    mode_b = jnp.asarray(np.array([[0, 1, 1]]))
+    variables = fusion.init(jax.random.key(0), x, mode_a, pairwise,
+                            agent_mask)
+    out_a = fusion.apply(variables, x, mode_a, pairwise, agent_mask)
+    out_b = fusion.apply(variables, x, mode_b, pairwise, agent_mask)
+    assert np.abs(np.asarray(out_a - out_b)).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_hmvit_end_to_end_forward_and_grad():
+    from hmvit_tpu.data.synthetic import make_hetero_batch
+    from hmvit_tpu.models.hmvit import HMViT
+    from hmvit_tpu.train.losses import point_pillar_loss
+    from hmvit_tpu.data.anchors import generate_anchor_grid, generate_labels
+
+    rng_range = [-20.48, -20.48, -3.0, 20.48, 20.48, 1.0]
+    cfg = {
+        "lidar": {
+            "voxel_size": [0.64, 0.64, 4.0],
+            "lidar_range": rng_range,
+            "anchor_number": 2,
+            "pillar_vfe": {"use_norm": True, "with_distance": False,
+                           "use_absolute_xyz": True, "num_filters": [32]},
+            "point_pillar_scatter": {"num_features": 32,
+                                     "grid_size": [64, 64, 1]},
+            "base_bev_backbone": {
+                "layer_nums": [1, 1, 1],
+                "layer_strides": [2, 2, 2],
+                "num_filters": [32, 32, 32],
+                "upsample_strides": [1, 2, 4],
+                "num_upsample_filter": [32, 32, 32],
+            },
+            "shrink_header": {"kernal_size": [3], "stride": [2],
+                              "padding": [1], "dim": [64], "input_dim": 96},
+        },
+        "camera": {"dim": 32, "bev_size": 4, "out_dim": 64,
+                   "num_blocks": 1, "decoder_layers": 2,
+                   "encoder_channels": (16, 32, 32, 32)},
+        "compression": 0,
+        "hetero_fusion": {
+            "num_iters": 1,
+            "hetero_fusion_block": {
+                "spatial_transform": {"downsample_rate": 4,
+                                      "voxel_size": [0.64, 0.64, 4]},
+                "architect_mode": "sequential",
+                "input_dim": 64,
+                "mlp_dim": 64,
+                "window_size": 4,
+                "dim_head": 16,
+                "drop_out": 0.0,
+            },
+        },
+        "hetero_decoder": {"input_dim": 64, "num_layer": 1,
+                           "num_ch_dec": [64], "anchor_number": 2},
+    }
+    batch, _ = make_hetero_batch(
+        seed=3, batch_size=1, max_cav=3, num_agents=3, max_points=2048,
+        image_size=64, camera_ratio=0.5, ego_mode="mixed",
+        lidar_range=rng_range,
+    )
+    batch["mode"] = np.array([[1, 0, 1]])  # guarantee a mixed fleet
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = HMViT(cfg)
+    variables = model.init(jax.random.key(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert out["psm"].shape == (1, 2, 16, 16)
+    assert out["rm"].shape == (1, 14, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out["psm"])))
+
+    anchor_args = {
+        "cav_lidar_range": rng_range, "l": 3.9, "w": 1.6, "h": 1.56,
+        "r": [0, 90], "feature_stride": 4, "num": 2,
+        "vw": 0.64, "vh": 0.64, "vd": 4, "W": 64, "H": 64, "D": 1,
+    }
+    anchors = generate_anchor_grid(anchor_args, "hwl")
+    labels = generate_labels(
+        np.asarray(batch["object_bbx_center"][0]),
+        np.asarray(batch["object_bbx_mask"][0]), anchors, 0.6, 0.45)
+    batch_labels = {
+        "pos_equal_one": jnp.asarray(labels["pos_equal_one"])[None],
+        "targets": jnp.asarray(labels["targets"])[None],
+    }
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)},
+        )
+        total, _ = point_pillar_loss(out, batch_labels)
+        return total
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(g)) for g in leaves)
+    # both branches and the fusion must receive gradient
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    groups = {"lidar_encoder": 0.0, "camera_encoder": 0.0, "fusion": 0.0}
+    for path, g in flat:
+        top = path[0].key
+        if top in groups:
+            groups[top] = max(groups[top], float(np.abs(g).max()))
+    assert all(v > 0 for v in groups.values()), groups

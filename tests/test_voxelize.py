@@ -91,7 +91,7 @@ def test_scatter_max_places_features():
     feats = jnp.asarray(points)  # use raw points as "features" (C=4)
     bev = np.asarray(
         scatter_max_to_bev(feats, info["pillar_id"], info["keep"], GRID)
-    )
+    )[0]
     assert bev.shape == (512, 512, 4)
     # pillar of first two points: max intensity 3
     assert bev[256, 256, 3] == 3.0
