@@ -85,13 +85,19 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     def forward(variables, batch):
         return model.apply(variables, batch, train=False)
 
+    # NOTE: through the remote-TPU tunnel in this environment,
+    # block_until_ready returns before execution completes; a host
+    # transfer of a result scalar is the only reliable sync.
+    def sync(o):
+        return float(jnp.sum(o["psm"]))
+
     out = forward(variables, batch)  # compile + warm
-    jax.block_until_ready(out)
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, batch)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     fps = iters / dt

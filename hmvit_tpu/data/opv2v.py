@@ -1,0 +1,315 @@
+"""OPV2V on-disk dataset: scenario scan, hetero modality assignment,
+pose reform, GT projection, fixed-shape frame assembly.
+
+Host-side analogue of the reference's dataset stack (reference:
+opencood/data_utils/datasets/basedataset.py:23-801 and
+mixed/intermediate_fusion_dataset.py:15-463) with the key difference that
+no voxelization happens here: frames carry raw padded point clouds and the
+device voxelizes inside the jitted forward.  All outputs are statically
+shaped (max_cav slots, max_points, max_objects) so one compiled program
+serves every frame.
+
+Layout expected: root/<scenario>/<cav_id>/<timestamp>.yaml / .pcd /
+_camera{0..3}.png.  RSUs have negative cav ids and sort to the end; the
+ego is the first CAV.
+"""
+from __future__ import annotations
+
+import os
+import re
+from collections import OrderedDict
+
+import numpy as np
+import yaml
+
+from .. import COM_RANGE
+from ..utils import boxes as box_utils
+from ..utils import transforms as T
+from .pcd_io import read_pcd
+
+
+class _FrameLoader(yaml.SafeLoader):
+    pass
+
+
+_FrameLoader.add_constructor(
+    "tag:yaml.org,2002:python/tuple",
+    lambda loader, node: tuple(loader.construct_sequence(node)),
+)
+
+
+def load_frame_yaml(path: str) -> dict:
+    with open(path) as f:
+        return yaml.load(f, Loader=_FrameLoader)
+
+
+def create_corner_template(extent) -> np.ndarray:
+    """(8, 3) corners of a box with half-extents [ex, ey, ez], ordered to
+    match the global corner convention."""
+    ex, ey, ez = extent
+    return np.array(
+        [
+            [ex, -ey, -ez], [ex, ey, -ez], [-ex, ey, -ez], [-ex, -ey, -ez],
+            [ex, -ey, ez], [ex, ey, ez], [-ex, ey, ez], [-ex, -ey, ez],
+        ]
+    )
+
+
+def project_world_objects(vehicles: dict, lidar_pose, lidar_range,
+                          order: str = "hwl") -> "OrderedDict":
+    """World-frame vehicle dicts -> {id: (7,) box in lidar frame}.
+
+    Vehicle schema (per OPV2V frame yaml): location + center offset,
+    angle [roll, yaw, pitch] degrees, extent = half dims [l/2, w/2, h/2].
+    """
+    out = OrderedDict()
+    for obj_id, content in vehicles.items():
+        loc = content["location"]
+        center = content.get("center", [0, 0, 0])
+        angle = content["angle"]
+        extent = content["extent"]
+        object_pose = [
+            loc[0] + center[0], loc[1] + center[1], loc[2] + center[2],
+            angle[0], angle[1], angle[2],
+        ]
+        obj_to_lidar = T.pose_to_pose(object_pose, lidar_pose)
+        corners = create_corner_template(extent)
+        corners = T.project_points(corners, obj_to_lidar)
+        box = box_utils.corners_to_boxes(corners[None], order)[0]
+        keep = box_utils.mask_boxes_outside_range(
+            box[None], lidar_range, order
+        )
+        if keep[0]:
+            out[obj_id] = box
+    return out
+
+
+def mask_ego_points(points: np.ndarray, x_half: float = 1.95,
+                    y_half: float = 1.1) -> np.ndarray:
+    """Remove the ego vehicle's own body returns."""
+    hit = (np.abs(points[:, 0]) <= x_half) & (np.abs(points[:, 1]) <= y_half)
+    return points[~hit]
+
+
+def scan_scenarios(root: str) -> list:
+    """[(scenario_name, OrderedDict{cav_id: {timestamp: file dict}})]."""
+    scenarios = []
+    for scen in sorted(os.listdir(root)):
+        scen_dir = os.path.join(root, scen)
+        if not os.path.isdir(scen_dir):
+            continue
+        cav_ids = [c for c in os.listdir(scen_dir)
+                   if os.path.isdir(os.path.join(scen_dir, c))]
+        # RSUs (negative ids) go last; ego is the first CAV
+        cav_ids = sorted(cav_ids, key=lambda c: (int(c) < 0, int(c)))
+        cavs = OrderedDict()
+        for cav in cav_ids:
+            cav_dir = os.path.join(scen_dir, cav)
+            stamps = sorted(
+                {m.group(1) for fn in os.listdir(cav_dir)
+                 if (m := re.match(r"(\d+)\.yaml$", fn))}
+            )
+            frames = OrderedDict()
+            for ts in stamps:
+                frames[ts] = {
+                    "yaml": os.path.join(cav_dir, f"{ts}.yaml"),
+                    "pcd": os.path.join(cav_dir, f"{ts}.pcd"),
+                    "cameras": [
+                        os.path.join(cav_dir, f"{ts}_camera{i}.png")
+                        for i in range(4)
+                    ],
+                }
+            cavs[cav] = frames
+        scenarios.append((scen, cavs))
+    return scenarios
+
+
+def preprocess_image(path: str, size: int, mean, std) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    img = cv2.resize(img, (size, size)).astype(np.float32) / 255.0
+    return (img - np.asarray(mean)) / np.asarray(std)
+
+
+class HeteroCooperativeDataset:
+    """Intermediate-fusion hetero dataset producing padded frame pytrees.
+
+    params keys used: root_dir/validate_dir, train_params.max_cav,
+    camera_to_lidar_ratio, ego_mode, preprocess (camera size / lidar
+    range), postprocess.max_num, wild_setting (async / loc_err).
+    """
+
+    IMAGE_MEAN = (0.485, 0.456, 0.406)
+    IMAGE_STD = (0.229, 0.224, 0.225)
+
+    def __init__(self, params: dict, train: bool = True,
+                 max_points: int = 60000):
+        self.params = params
+        self.train = train
+        root = params["root_dir"] if train else params["validate_dir"]
+        self.scenarios = scan_scenarios(root)
+        self.max_cav = params["train_params"]["max_cav"]
+        self.max_objects = params["postprocess"].get("max_num", 100)
+        self.max_points = max_points
+        self.camera_ratio = params.get("camera_to_lidar_ratio", 0.0)
+        self.ego_mode = params.get("ego_mode", "lidar")
+        self.lidar_range = params["preprocess"]["cav_lidar_range"]
+        cam_args = (params["preprocess"]["args"]
+                    .get("camera_preprocess", {}).get("args", {}))
+        self.image_size = cam_args.get("resize_x", 512)
+        self.order = params["postprocess"].get("order", "hwl")
+
+        wild = params.get("wild_setting", {})
+        self.async_frames = int(wild.get("async_overhead", 0)) \
+            if wild.get("async", False) else 0
+        self.loc_err = wild.get("loc_err", False)
+        self.xyz_std = float(wild.get("xyz_std", 0.2))
+        self.ryp_std = float(wild.get("ryp_std", 0.2))
+
+        # flat index over (scenario, timestamp) using the ego's timeline
+        self.index = []
+        for si, (_, cavs) in enumerate(self.scenarios):
+            ego_frames = next(iter(cavs.values()))
+            for ts in ego_frames:
+                self.index.append((si, ts))
+
+        self._rng = np.random.default_rng(None if train else 0)
+        self.reinitialize()
+
+    def reinitialize(self):
+        """Re-roll per-(cav, frame) modalities; eval draws are seeded
+        (reference: basedataset.py:140-141, 194-200)."""
+        if not self.train:
+            self._rng = np.random.default_rng(0)
+        self.modalities = []
+        for si, (_, cavs) in enumerate(self.scenarios):
+            n_ts = len(next(iter(cavs.values())))
+            draws = (
+                self._rng.uniform(0, 1, (len(cavs), n_ts))
+                >= self.camera_ratio
+            ).astype(np.int32)  # 1 = lidar
+            if self.ego_mode == "camera":
+                draws[0, :] = 0
+            elif self.ego_mode == "lidar":
+                draws[0, :] = 1
+            self.modalities.append(draws)
+
+    def __len__(self):
+        return len(self.index)
+
+    def _noisy_pose(self, pose):
+        if not self.loc_err:
+            return pose
+        pose = list(pose)
+        pose[0] += float(self._rng.normal(0, self.xyz_std))
+        pose[1] += float(self._rng.normal(0, self.xyz_std))
+        pose[4] += float(self._rng.normal(0, self.ryp_std))
+        return pose
+
+    def __getitem__(self, idx: int) -> dict:
+        si, ts = self.index[idx]
+        _, cavs = self.scenarios[si]
+        cav_list = list(cavs.keys())
+        ts_index = list(cavs[cav_list[0]].keys()).index(ts)
+
+        ego_meta = load_frame_yaml(cavs[cav_list[0]][ts]["yaml"])
+        ego_pose = ego_meta["lidar_pose"]
+
+        frame = _empty_frame(self.max_cav, self.max_points,
+                             self.image_size, self.max_objects)
+        objects = OrderedDict()
+        slot = 0
+        for ci, cav in enumerate(cav_list):
+            if slot >= self.max_cav:
+                break
+            # communication delay: non-ego agents send an older frame
+            cav_stamps = list(cavs[cav].keys())
+            eff_ts = ts
+            if ci > 0 and self.async_frames:
+                pos = max(cav_stamps.index(ts) - self.async_frames, 0) \
+                    if ts in cav_stamps else 0
+                eff_ts = cav_stamps[pos]
+            if eff_ts not in cavs[cav]:
+                continue
+            meta = load_frame_yaml(cavs[cav][eff_ts]["yaml"])
+            pose = meta["lidar_pose"]
+            dist = np.hypot(pose[0] - ego_pose[0], pose[1] - ego_pose[1])
+            if ci > 0 and dist > COM_RANGE:
+                continue
+            noisy_pose = self._noisy_pose(pose) if ci > 0 else pose
+
+            # GT always from true poses (gt_transformation semantics)
+            objects.update(
+                project_world_objects(meta.get("vehicles", {}), ego_pose,
+                                      self.lidar_range, self.order)
+            )
+
+            pts = read_pcd(cavs[cav][eff_ts]["pcd"])
+            if self.train:
+                pts = pts[self._rng.permutation(len(pts))]
+            pts = mask_ego_points(pts)
+            n = min(len(pts), self.max_points)
+            frame["points"][slot, :n] = pts[:n]
+            frame["points_mask"][slot, :n] = 1
+
+            for mi, cam_path in enumerate(cavs[cav][eff_ts]["cameras"]):
+                cam_key = f"camera{mi}"
+                if cam_key in meta and os.path.exists(cam_path):
+                    frame["camera"][slot, mi] = preprocess_image(
+                        cam_path, self.image_size, self.IMAGE_MEAN,
+                        self.IMAGE_STD)
+                    frame["intrinsics"][slot, mi] = np.asarray(
+                        meta[cam_key]["intrinsic"], np.float32)
+                    cam_to_lidar = T.pose_to_pose(meta[cam_key]["cords"],
+                                                  pose)
+                    frame["extrinsics"][slot, mi] = cam_to_lidar.astype(
+                        np.float32)
+
+            frame["mode"][slot] = self.modalities[si][
+                min(ci, self.modalities[si].shape[0] - 1), ts_index]
+            frame["agent_mask"][slot] = 1
+            frame["transformation_matrix"][slot] = T.pose_to_pose(
+                noisy_pose, ego_pose).astype(np.float32)
+            frame["_poses"].append(noisy_pose)
+            slot += 1
+
+        poses = frame.pop("_poses")
+        frame["pairwise_t_matrix"][:] = T.pairwise_transforms(
+            poses, self.max_cav).astype(np.float32)
+        frame["record_len"] = np.int32(slot)
+
+        boxes = list(objects.values())[: self.max_objects]
+        for i, b in enumerate(boxes):
+            frame["object_bbx_center"][i] = b
+            frame["object_bbx_mask"][i] = 1
+        frame["object_ids"] = list(objects.keys())[: self.max_objects]
+        return frame
+
+    @staticmethod
+    def collate_batch(frames: list) -> dict:
+        keys = [k for k in frames[0] if not k.startswith("object_ids")]
+        batch = {k: np.stack([f[k] for f in frames]) for k in keys}
+        batch["object_ids"] = [f["object_ids"] for f in frames]
+        return batch
+
+
+def _empty_frame(max_cav, max_points, image_size, max_objects) -> dict:
+    eye4 = np.eye(4, dtype=np.float32)
+    return {
+        "points": np.zeros((max_cav, max_points, 4), np.float32),
+        "points_mask": np.zeros((max_cav, max_points), np.float32),
+        "camera": np.zeros((max_cav, 4, image_size, image_size, 3),
+                           np.float32),
+        "intrinsics": np.tile(np.eye(3, dtype=np.float32),
+                              (max_cav, 4, 1, 1)),
+        "extrinsics": np.tile(eye4, (max_cav, 4, 1, 1)),
+        "mode": np.zeros(max_cav, np.int32),
+        "agent_mask": np.zeros(max_cav, np.float32),
+        "pairwise_t_matrix": np.tile(eye4, (max_cav, max_cav, 1, 1)),
+        "transformation_matrix": np.tile(eye4, (max_cav, 1, 1)),
+        "object_bbx_center": np.zeros((max_objects, 7), np.float32),
+        "object_bbx_mask": np.zeros(max_objects, np.float32),
+        "_poses": [],
+    }

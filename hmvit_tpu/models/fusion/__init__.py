@@ -10,3 +10,21 @@ Each is an alternative to H3GAT above the same warped-feature interface
 from .basic import AttFusion, DiscoNetFusion, SpatialFusion  # noqa: F401
 from .v2vnet import V2VNetFusion  # noqa: F401
 from .swap import SwapFusionEncoder  # noqa: F401
+
+
+def make_fusion(name: str, dim: int, spatial: dict):
+    """Instantiate a fusion module by its registry name."""
+    ratio = spatial.get("voxel_size", [0.4])[0]
+    ds = spatial.get("downsample_rate", 4)
+    if name == "fcooper":
+        return SpatialFusion(discrete_ratio=ratio, downsample_rate=ds)
+    if name in ("att", "self_att"):
+        return AttFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
+    if name == "disconet":
+        return DiscoNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
+    if name == "v2vnet":
+        return V2VNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
+    if name in ("swap", "fax", "cobevt"):
+        return SwapFusionEncoder(dim, discrete_ratio=ratio,
+                                 downsample_rate=ds)
+    raise ValueError(f"unknown fusion {name!r}")

@@ -1,0 +1,166 @@
+"""Model registry: build any model family from its hypes config.
+
+Replaces the reference's importlib reflection loading (reference:
+opencood/tools/train_utils.py:110-143) with an explicit registry keyed by
+``model.core_method``.  Reference model names map onto three assemblies:
+
+* hetero (camera+lidar) -> :class:`hmvit_tpu.models.hmvit.HMViT`
+  (H3GAT fusion) or :class:`CooperativeDetector` with another fusion;
+* lidar-only -> :class:`PointPillarDetector` (single agent) or
+  :class:`CooperativeDetector` (intermediate fusion);
+* camera-only -> :class:`CameraDetector` / :class:`CooperativeDetector`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .cvt import CrossViewTransformer
+from .fusion import (
+    AttFusion,
+    DiscoNetFusion,
+    SpatialFusion,
+    SwapFusionEncoder,
+    V2VNetFusion,
+)
+from .hetero_fusion import HeteroFusion
+from .hmvit import HMViT
+from .layers import DetectionHead, NaiveDecoder
+from .pillar_encoder import PointPillarEncoder
+from .point_pillar import PointPillarDetector
+
+
+def _make_fusion(name: str, dim: int, spatial: dict):
+    ratio = spatial.get("voxel_size", [0.4])[0]
+    ds = spatial.get("downsample_rate", 4)
+    if name == "fcooper":
+        return SpatialFusion(discrete_ratio=ratio, downsample_rate=ds)
+    if name in ("att", "self_att"):
+        return AttFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
+    if name == "disconet":
+        return DiscoNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
+    if name == "v2vnet":
+        return V2VNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
+    if name in ("swap", "fax", "cobevt"):
+        return SwapFusionEncoder(dim, discrete_ratio=ratio,
+                                 downsample_rate=ds)
+    raise ValueError(f"unknown fusion {name!r}")
+
+
+class CameraDetector(nn.Module):
+    """Single-agent camera detector (camera-only nofusion family)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False):
+        cams = batch["camera"]
+        b, l = cams.shape[:2]
+        bev = CrossViewTransformer(self.config["camera"])(
+            cams.reshape(b * l, *cams.shape[2:]),
+            batch["intrinsics"].reshape(b * l, *batch["intrinsics"].shape[2:]),
+            batch["extrinsics"].reshape(b * l, *batch["extrinsics"].shape[2:]),
+            train,
+        )
+        bev = bev.reshape(b, l, *bev.shape[1:])[:, 0]  # ego only
+        psm, rm = DetectionHead(self.config["anchor_number"])(bev)
+        return {"psm": psm.transpose(0, 3, 1, 2),
+                "rm": rm.transpose(0, 3, 1, 2)}
+
+
+class CooperativeDetector(nn.Module):
+    """Generic intermediate-fusion detector: one modality's encoder on
+    every agent slot, a pluggable fusion module, decoder + heads."""
+    config: dict
+    modality: str  # 'lidar' | 'camera'
+    fusion_name: str
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False):
+        cfg = self.config
+        mode = batch["mode"].astype(jnp.int32)
+        agent_mask = batch["agent_mask"].astype(jnp.float32)
+        pairwise = batch["pairwise_t_matrix"]
+        b, l = mode.shape
+
+        if self.modality == "lidar":
+            points = batch["points"].reshape(b * l,
+                                             *batch["points"].shape[2:])
+            pmask = batch["points_mask"].reshape(b * l, -1)
+            x = PointPillarEncoder(cfg["lidar"])(points, pmask, train)
+        else:
+            cams = batch["camera"]
+            x = CrossViewTransformer(cfg["camera"])(
+                cams.reshape(b * l, *cams.shape[2:]),
+                batch["intrinsics"].reshape(
+                    b * l, *batch["intrinsics"].shape[2:]),
+                batch["extrinsics"].reshape(
+                    b * l, *batch["extrinsics"].shape[2:]),
+                train,
+            )
+        h, w, c = x.shape[1:]
+        x = x.reshape(b, l, h, w, c) * agent_mask[:, :, None, None, None]
+
+        spatial = cfg.get("spatial_transform", {})
+        if self.fusion_name == "hetero":
+            fused = HeteroFusion(cfg["hetero_fusion"])(
+                x, mode, pairwise, agent_mask, deterministic=not train)
+        else:
+            fused = _make_fusion(self.fusion_name, c, spatial)(
+                x, mode, pairwise, agent_mask)
+
+        dec = cfg.get("decoder")
+        if dec:
+            fused = NaiveDecoder(dec["num_layer"], dec["num_ch_dec"],
+                                 use_upsample=False)(fused, train)
+        psm, rm = DetectionHead(cfg["anchor_number"])(fused)
+        return {"psm": psm.transpose(0, 3, 1, 2),
+                "rm": rm.transpose(0, 3, 1, 2)}
+
+
+_HETERO_NAMES = {
+    "hmvit", "hetero_hmvit", "bevformer_point_pillar_hetero",
+    "fax_point_pillar_hetero",
+}
+_LIDAR_FUSIONS = {
+    "point_pillar_fcooper": "fcooper",
+    "point_pillar_opv2v": "att",
+    "point_pillar_intermediate": "att",
+    "point_pillar_v2vnet": "v2vnet",
+    "point_pillar_disconet": "disconet",
+    "point_pillar_swap": "swap",
+    "point_pillar_cobevt": "swap",
+}
+_CAMERA_FUSIONS = {
+    "cvt_fcooper": "fcooper",
+    "cvt_att_fuse": "att",
+    "cvt_v2vnet": "v2vnet",
+    "cvt_disconet": "disconet",
+    "corpbevt": "swap",
+    "cvt_swap_fuse": "swap",
+}
+_MIXED_FUSIONS = {
+    "fax_point_pillar_fcooper": "fcooper",
+    "fax_point_pillar_att_fuse": "att",
+    "fax_point_pillar_v2vnet": "v2vnet",
+    "fax_point_pillar_disconet": "disconet",
+    "fax_point_pillar_fax": "swap",
+    "bevformer_point_pillar_fax": "swap",
+}
+
+
+def build_model(model_cfg: dict) -> nn.Module:
+    name = model_cfg["core_method"].lower()
+    args = model_cfg["args"]
+    if name in _HETERO_NAMES:
+        return HMViT(args)
+    if name in _MIXED_FUSIONS:
+        return HMViT(dict(args, fusion_override=_MIXED_FUSIONS[name]))
+    if name == "point_pillar":
+        return PointPillarDetector(args.get("lidar", args))
+    if name in ("cross_view_transformer", "cvt_nofusion", "fax"):
+        return CameraDetector(args)
+    if name in _LIDAR_FUSIONS:
+        return CooperativeDetector(args, "lidar", _LIDAR_FUSIONS[name])
+    if name in _CAMERA_FUSIONS:
+        return CooperativeDetector(args, "camera", _CAMERA_FUSIONS[name])
+    raise ValueError(f"unknown model core_method {name!r}")

@@ -1,0 +1,223 @@
+"""Training CLI.
+
+Mirrors the reference trainer's surface (reference:
+opencood/tools/train_camera.py:17-231): hypes YAML + optional model_dir
+resume, per-epoch modality reshuffle, eval/save frequencies, staged
+backbone loading/freezing — but one jitted SPMD program over a device
+mesh instead of DDP process groups.
+
+Usage:
+  python -m hmvit_tpu.tools.train --hypes_yaml <cfg.yaml> [--model_dir d]
+      [--synthetic] [--epoches N] [--max_points P] [--steps_per_epoch N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("hmvit_tpu trainer")
+    p.add_argument("--hypes_yaml", required=True)
+    p.add_argument("--model_dir", default="")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a mini on-disk OPV2V instead of reading "
+                        "root_dir (for smoke runs without the dataset)")
+    p.add_argument("--epoches", type=int, default=0)
+    p.add_argument("--steps_per_epoch", type=int, default=0)
+    p.add_argument("--max_points", type=int, default=60000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--camera_backbone_dir", default="")
+    p.add_argument("--lidar_backbone_dir", default="")
+    p.add_argument("--fix_camera_backbone", action="store_true")
+    p.add_argument("--fix_lidar_backbone", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import load_config, save_config
+    from ..data.opv2v import HeteroCooperativeDataset
+    from ..models.zoo import build_model
+    from ..parallel import make_mesh, replicate_state, shard_batch
+    from ..postprocess import AnchorPostprocessor
+    from ..train.checkpointing import (
+        find_last_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from ..train.schedulers import build_optimizer
+    from ..train.trainer import (
+        create_train_state,
+        labels_for_batch,
+        make_eval_step,
+        make_train_step,
+    )
+
+    params = load_config(args.hypes_yaml,
+                         model_dir=args.model_dir or None)
+    if args.epoches:
+        params["train_params"]["epoches"] = args.epoches
+        params["lr_scheduler"]["epoches"] = args.epoches
+
+    if args.synthetic:
+        import tempfile
+
+        from ..data.fixture import write_mini_opv2v
+
+        root = tempfile.mkdtemp(prefix="mini_opv2v_")
+        cam_args = (params["preprocess"]["args"]["camera_preprocess"]
+                    ["args"])
+        write_mini_opv2v(root, num_scenarios=2, num_cavs=2, num_frames=4,
+                         image_size=cam_args["resize_x"],
+                         max_points=min(args.max_points, 8192))
+        params["root_dir"] = params["validate_dir"] = root
+
+    run_dir = args.model_dir or os.path.join(
+        "runs", f"{params['name']}_{time.strftime('%Y%m%d_%H%M%S')}")
+    os.makedirs(run_dir, exist_ok=True)
+    save_config(params, os.path.join(run_dir, "config.yaml"))
+
+    dataset = HeteroCooperativeDataset(params, train=True,
+                                       max_points=args.max_points)
+    val_dataset = HeteroCooperativeDataset(params, train=False,
+                                           max_points=args.max_points)
+    pp = AnchorPostprocessor(params["postprocess"], train=True)
+    anchors = pp.generate_anchor_box()
+
+    model = build_model(params["model"])
+    batch_size = params["train_params"]["batch_size"]
+    steps_per_epoch = args.steps_per_epoch or max(
+        len(dataset) // batch_size, 1)
+
+    frozen = ()
+    if args.fix_camera_backbone:
+        frozen += ("camera_encoder",)
+    if args.fix_lidar_backbone:
+        frozen += ("lidar_encoder",)
+    tx, schedule = build_optimizer(params["optimizer"],
+                                   params["lr_scheduler"],
+                                   steps_per_epoch, frozen)
+
+    example = dataset.collate_batch([dataset[0]])
+    example = {k: jnp.asarray(v) for k, v in example.items()
+               if k != "object_ids"}
+    state = create_train_state(model, tx, example,
+                               rng=jax.random.key(args.seed))
+
+    # staged training: graft pretrained single-modality encoders
+    for key, donor_dir in (("camera_encoder", args.camera_backbone_dir),
+                           ("lidar_encoder", args.lidar_backbone_dir)):
+        if donor_dir:
+            abstract = {"params": jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                state.params)}
+            donor = restore_checkpoint(os.path.join(donor_dir, "ckpt"),
+                                       abstract)
+            if donor and key in donor["params"]:
+                new_params = dict(state.params)
+                new_params[key] = donor["params"][key]
+                state = state.replace(params=new_params)
+                print(f"grafted {key} from {donor_dir}")
+
+    ckpt_dir = os.path.join(os.path.abspath(run_dir), "ckpt")
+    last = find_last_step(ckpt_dir)
+    start_epoch = 0
+    if last is not None:
+        abstract = {
+            "params": jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                state.params),
+            "batch_stats": jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                state.batch_stats),
+        }
+        restored = restore_checkpoint(ckpt_dir, abstract, last)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+        start_epoch = last
+        print(f"resumed from epoch {last}")
+
+    mesh = make_mesh()
+    state = replicate_state(state, mesh)
+    train_step = make_train_step(model, tx,
+                                 loss_kwargs=_loss_kwargs(params))
+    eval_step = make_eval_step(model, loss_kwargs=_loss_kwargs(params))
+    rng = jax.random.key(args.seed + 1)
+
+    metrics_path = os.path.join(run_dir, "metrics.jsonl")
+    epoches = params["train_params"]["epoches"]
+    eval_freq = params["train_params"].get("eval_freq", 2)
+    save_freq = params["train_params"].get("save_freq", 1)
+
+    order = np.arange(len(dataset))
+    host_rng = np.random.default_rng(args.seed)
+    with open(metrics_path, "a") as mf:
+        for epoch in range(start_epoch, epoches):
+            host_rng.shuffle(order)
+            t_ep = time.time()
+            for step in range(steps_per_epoch):
+                idxs = order[(step * batch_size) % len(order):][:batch_size]
+                frames = [dataset[int(i)] for i in idxs]
+                while len(frames) < batch_size:
+                    frames.append(frames[-1])
+                batch = dataset.collate_batch(frames)
+                labels = labels_for_batch(pp, anchors, batch)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k != "object_ids"}
+                batch = shard_batch(batch, mesh)
+                labels = shard_batch(labels, mesh)
+                state, metrics = train_step(state, batch, labels, rng)
+                if step % 10 == 0:
+                    rec = {"epoch": epoch, "step": step,
+                           "lr": float(schedule(int(state.step))),
+                           **{k: float(v) for k, v in metrics.items()}}
+                    mf.write(json.dumps(rec) + "\n")
+                    mf.flush()
+                    print(f"[epoch {epoch}][{step}/{steps_per_epoch}] "
+                          f"loss={rec['total_loss']:.4f} "
+                          f"conf={rec['conf_loss']:.4f} "
+                          f"reg={rec['reg_loss']:.4f}")
+
+            if epoch % eval_freq == 0:
+                val_losses = []
+                for vi in range(min(len(val_dataset), 4)):
+                    frames = [val_dataset[vi]] * batch_size
+                    vb = val_dataset.collate_batch(frames)
+                    vl = labels_for_batch(pp, anchors, vb)
+                    vb = {k: jnp.asarray(v) for k, v in vb.items()
+                          if k != "object_ids"}
+                    m = eval_step(state, shard_batch(vb, mesh),
+                                  shard_batch(vl, mesh))
+                    val_losses.append(float(m["total_loss"]))
+                print(f"[epoch {epoch}] val_loss="
+                      f"{np.mean(val_losses):.4f} "
+                      f"({time.time() - t_ep:.1f}s/epoch)")
+
+            if epoch % save_freq == 0:
+                host_state = jax.device_get(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats})
+                save_checkpoint(ckpt_dir, epoch + 1, host_state)
+
+            dataset.reinitialize()
+    print(f"training done -> {run_dir}")
+    return run_dir
+
+
+def _loss_kwargs(params):
+    largs = params.get("loss", {}).get("args", {})
+    return {"cls_weight": float(largs.get("cls_weight", 1.0)),
+            "reg_weight": float(largs.get("reg", 2.0))}
+
+
+if __name__ == "__main__":
+    main()
