@@ -1,0 +1,221 @@
+"""BEVFormer-style camera -> BEV encoder with deformable attention.
+
+Capability-equivalent of the reference's only_bev BEVFormer path
+(reference: opencood/models/bevformer_wrapper.py:9-94 and
+mmdet3d_plugin/bevformer/modules/{encoder,spatial_cross_attention,
+temporal_self_attention}.py): per encoder layer, BEV queries run (a)
+deformable self-attention over the BEV plane (the temporal attention
+without history) and (b) spatial cross-attention that lifts each query to
+``num_points_in_pillar`` heights, projects them into every camera with
+lidar2img, and samples learned offsets around the projections.  The CUDA
+ms_deform_attn kernel becomes :func:`hmvit_tpu.ops.sampling.
+bilinear_sample`; cameras/heights/points are all folded into dense einsum
+axes (no Python loops, no per-camera masking control flow).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.sampling import bilinear_sample
+from .cvt import ImageEncoder
+from .layers import NaiveDecoder
+
+# CARLA/UE4 agent frame (x fwd, y right, z up) -> OpenCV camera axes
+# (x right, y down, z fwd) (reference: bevformer_wrapper.py:44-61)
+_UE4_TO_CV = jnp.array(
+    [[0.0, 1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]], jnp.float32
+)
+
+
+def lidar2img(intrinsics, cam_to_lidar):
+    """(..., 3, 3), (..., 4, 4 cam->agent) -> (..., 3, 4) projection."""
+    rt = jnp.linalg.inv(cam_to_lidar.astype(jnp.float32))  # agent -> cam
+    rt_cv = jnp.einsum("ij,...jk->...ik", _UE4_TO_CV, rt[..., :3, :])
+    return jnp.einsum("...ij,...jk->...ik",
+                      intrinsics.astype(jnp.float32), rt_cv)
+
+
+class DeformableSelfAttention(nn.Module):
+    """BEV-plane deformable self-attention (history-free temporal attn)."""
+    dim: int
+    heads: int = 4
+    points: int = 4
+
+    @nn.compact
+    def __call__(self, query, bev_2d, ref_xy):
+        # query: (N, Q, C); bev_2d: (N, Hb, Wb, C); ref_xy: (Q, 2) pixels
+        n, q, c = query.shape
+        hb, wb = bev_2d.shape[1:3]
+        hp = self.heads * self.points
+
+        offsets = nn.Dense(hp * 2, name="offsets")(query)
+        offsets = offsets.reshape(n, q, hp, 2)
+        weights = nn.Dense(hp, name="weights")(query)
+        weights = jax.nn.softmax(
+            weights.reshape(n, q, self.heads, self.points), axis=-1)
+
+        value = nn.Dense(self.dim, name="value")(bev_2d)
+        coords = ref_xy[None, :, None, :] + offsets  # (N, Q, HP, 2)
+        sampled = bilinear_sample(value, coords.reshape(n, q * hp, 2))
+        head_dim = self.dim // self.heads
+        # (N, Q, sample-head, P, channel-head, D): keep the matching
+        # head's channel slice for each head's sample locations
+        sampled = sampled.reshape(n, q, self.heads, self.points,
+                                  self.heads, head_dim)
+        idx = jnp.arange(self.heads)
+        sampled = sampled[:, :, idx, :, idx, :]  # (H, N, Q, P, D)
+        sampled = jnp.moveaxis(sampled, 0, 2)  # (N, Q, H, P, D)
+        out = jnp.einsum("nqhp,nqhpd->nqhd", weights, sampled,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(n, q, self.heads * head_dim)
+        return nn.Dense(self.dim, name="out")(out)
+
+
+class SpatialCrossAttention(nn.Module):
+    """Lift BEV queries to pillar points, project into cameras, sample."""
+    dim: int
+    heads: int = 4
+    points: int = 2  # learned offsets per projected reference point
+    z_points: int = 4
+
+    @nn.compact
+    def __call__(self, query, cam_feats, proj, bev_xy_metric, z_values,
+                 img_hw):
+        # query: (N, Q, C); cam_feats: (N, M, Hf, Wf, C);
+        # proj: (N, M, 3, 4); bev_xy_metric: (Q, 2); z_values: (Z,)
+        n, q, c = query.shape
+        m, fh, fw = cam_feats.shape[1:4]
+        z = self.z_points
+        img_h, img_w = img_hw
+
+        # 3D reference points per query: (Q, Z, 3)
+        ref = jnp.concatenate(
+            [
+                jnp.broadcast_to(bev_xy_metric[:, None, :], (q, z, 2)),
+                jnp.broadcast_to(z_values[None, :, None], (q, z, 1)),
+            ],
+            axis=-1,
+        )
+        hom = jnp.concatenate([ref, jnp.ones((q, z, 1))], -1)  # (Q, Z, 4)
+        # project into every camera: (N, M, Q, Z, 3)
+        uvw = jnp.einsum("nmij,qzj->nmqzi", proj, hom,
+                         precision=jax.lax.Precision.HIGHEST)
+        depth = uvw[..., 2]
+        valid = depth > 0.1
+        uv = uvw[..., :2] / jnp.maximum(depth[..., None], 0.1)
+        inside = (
+            valid
+            & (uv[..., 0] >= 0) & (uv[..., 0] < img_w)
+            & (uv[..., 1] >= 0) & (uv[..., 1] < img_h)
+        )
+        # to feature-map pixels
+        uv_f = uv * jnp.asarray([fw / img_w, fh / img_h], uv.dtype)
+
+        hzp = self.heads * z * self.points
+        offsets = nn.Dense(hzp * 2, name="offsets")(query)
+        offsets = offsets.reshape(n, 1, q, self.heads, z, self.points, 2)
+        weights = nn.Dense(self.heads * z * self.points, name="weights")(
+            query)
+        weights = jax.nn.softmax(
+            weights.reshape(n, q, self.heads, z * self.points), axis=-1
+        ).reshape(n, 1, q, self.heads, z, self.points)
+
+        value = nn.Dense(self.dim, name="value")(cam_feats)
+        coords = uv_f[:, :, :, None, :, None, :] + offsets
+        # (N, M, Q, H, Z, P, 2) -> flatten sample axis per camera
+        coords_flat = coords.reshape(n * m, -1, 2)
+        sampled = bilinear_sample(
+            value.reshape(n * m, fh, fw, self.dim), coords_flat
+        ).reshape(n, m, q, self.heads, z, self.points, self.dim)
+
+        head_dim = self.dim // self.heads
+        sampled = sampled.reshape(n, m, q, self.heads, z, self.points,
+                                  self.heads, head_dim)
+        idx = jnp.arange(self.heads)
+        sampled = sampled[:, :, :, idx, :, :, idx, :]
+        # advanced indexing moves the head axis first: (H, N, M, Q, Z, P, D)
+        sampled = jnp.moveaxis(sampled, 0, 3)
+
+        w = weights * inside[:, :, :, None, :, None]
+        out = jnp.einsum("nmqhzp,nmqhzpd->nqhd", w, sampled,
+                         preferred_element_type=jnp.float32)
+        # normalize by the number of cameras that saw each point
+        count = jnp.clip(
+            inside.any(-1).sum(1).astype(out.dtype), 1.0, None
+        )  # (N, Q)
+        out = out / count[:, :, None, None]
+        out = out.reshape(n, q, self.heads * head_dim)
+        return nn.Dense(self.dim, name="out")(out)
+
+
+class BEVFormerLayer(nn.Module):
+    dim: int
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, bev_q, cam_feats, proj, grid_xy_pix, grid_xy_metric,
+                 z_values, img_hw, bev_hw):
+        n, q, c = bev_q.shape
+        bev_2d = bev_q.reshape(n, bev_hw, bev_hw, c)
+        x = bev_q + DeformableSelfAttention(self.dim, self.heads)(
+            nn.LayerNorm()(bev_q), bev_2d, grid_xy_pix)
+        x = x + SpatialCrossAttention(self.dim, self.heads)(
+            nn.LayerNorm()(x), cam_feats, proj, grid_xy_metric, z_values,
+            img_hw)
+        ff = nn.Dense(self.dim)(
+            nn.gelu(nn.Dense(2 * self.dim)(nn.LayerNorm()(x))))
+        return x + ff
+
+
+class BEVFormerEncoder(nn.Module):
+    """(N, M, H, W, 3) images + calib -> (N, out, out, out_dim) BEV."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, images, intrinsics, extrinsics, train: bool = False):
+        cfg = self.config
+        dim = cfg.get("dim", 128)
+        bev_hw = cfg.get("bev_size", 32)
+        out_dim = cfg.get("out_dim", 256)
+        layers = cfg.get("num_layers", 3)
+        heads = cfg.get("heads", 4)
+        bev_range = cfg.get("bev_range", 51.2)  # metric half-extent
+        n, m, img_h, img_w, _ = images.shape
+
+        feats = ImageEncoder(tuple(cfg.get("encoder_channels",
+                                           (32, 64, 128, dim))))(
+            images.reshape(n * m, img_h, img_w, 3), train)
+        feats = nn.Dense(dim)(feats)
+        fh, fw = feats.shape[1:3]
+        cam_feats = feats.reshape(n, m, fh, fw, dim)
+
+        proj = lidar2img(intrinsics, extrinsics)  # (N, M, 3, 4)
+
+        # BEV query grid
+        q = bev_hw * bev_hw
+        bev_embed = self.param("bev_embedding",
+                               nn.initializers.normal(0.02), (q, dim))
+        bev_q = jnp.broadcast_to(bev_embed[None], (n, q, dim))
+
+        ii, jj = jnp.meshgrid(jnp.arange(bev_hw), jnp.arange(bev_hw),
+                              indexing="ij")
+        grid_xy_pix = jnp.stack([jj, ii], -1).reshape(q, 2).astype(
+            jnp.float32)
+        # metric xy of each query (x right along j, y along i)
+        step = 2 * bev_range / bev_hw
+        grid_xy_metric = (grid_xy_pix + 0.5) * step - bev_range
+        z_values = jnp.linspace(-2.0, 1.0,
+                                cfg.get("num_points_in_pillar", 4))
+
+        for _ in range(layers):
+            bev_q = BEVFormerLayer(dim, heads)(
+                bev_q, cam_feats, proj, grid_xy_pix, grid_xy_metric,
+                z_values, (img_h, img_w), bev_hw)
+
+        bev = bev_q.reshape(n, bev_hw, bev_hw, dim)
+        bev = nn.Dense(out_dim)(bev)
+        up = cfg.get("decoder_layers", 2)
+        return NaiveDecoder(num_layer=up, num_ch_dec=[out_dim] * up,
+                            use_upsample=True)(bev, train)

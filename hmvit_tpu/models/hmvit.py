@@ -21,6 +21,23 @@ from .layers import DetectionHead, NaiveCompressor, NaiveDecoder
 from .pillar_encoder import PointPillarEncoder
 
 
+def make_camera_encoder(cfg: dict, name: str = "camera_encoder"):
+    """Camera->BEV encoder by config key ``encoder``: cvt (default), fax,
+    or bevformer."""
+    kind = cfg.get("encoder", "cvt")
+    if kind == "cvt":
+        return CrossViewTransformer(cfg, name=name)
+    if kind == "fax":
+        from .fax import FAXCameraEncoder
+
+        return FAXCameraEncoder(cfg, name=name)
+    if kind == "bevformer":
+        from .bevformer import BEVFormerEncoder
+
+        return BEVFormerEncoder(cfg, name=name)
+    raise ValueError(f"unknown camera encoder {kind!r}")
+
+
 class HeteroDecoder(nn.Module):
     """Per-modality decoder + heads, selected by the ego's modality
     (reference: opencood/models/sub_modules/hetero_decoder.py:7-95)."""
@@ -71,7 +88,7 @@ class HMViT(nn.Module):
 
         # --- Camera branch on every slot
         cams = batch["camera"]
-        cam_bev = CrossViewTransformer(cfg["camera"], name="camera_encoder")(
+        cam_bev = make_camera_encoder(cfg["camera"])(
             cams.reshape(b * l, *cams.shape[2:]),
             batch["intrinsics"].reshape(b * l, *batch["intrinsics"].shape[2:]),
             batch["extrinsics"].reshape(b * l, *batch["extrinsics"].shape[2:]),
@@ -88,9 +105,16 @@ class HMViT(nn.Module):
         x = x.reshape(b, l, h, w, c)
         x = x * agent_mask[:, :, None, None, None]
 
-        ego = HeteroFusion(cfg["hetero_fusion"], name="fusion")(
-            x, mode, pairwise, agent_mask, deterministic=not train
-        )  # (B, H, W, C)
+        if cfg.get("fusion_override"):
+            from .fusion import make_fusion
+
+            ego = make_fusion(cfg["fusion_override"], c,
+                              cfg.get("spatial_transform", {}))(
+                x, mode, pairwise, agent_mask)
+        else:
+            ego = HeteroFusion(cfg["hetero_fusion"], name="fusion")(
+                x, mode, pairwise, agent_mask, deterministic=not train
+            )  # (B, H, W, C)
 
         dec = cfg["hetero_decoder"]
         psm, rm = HeteroDecoder(

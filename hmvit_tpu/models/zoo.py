@@ -15,36 +15,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .cvt import CrossViewTransformer
-from .fusion import (
-    AttFusion,
-    DiscoNetFusion,
-    SpatialFusion,
-    SwapFusionEncoder,
-    V2VNetFusion,
-)
+from .fusion import make_fusion
 from .hetero_fusion import HeteroFusion
-from .hmvit import HMViT
+from .hmvit import HMViT, make_camera_encoder
 from .layers import DetectionHead, NaiveDecoder
 from .pillar_encoder import PointPillarEncoder
 from .point_pillar import PointPillarDetector
-
-
-def _make_fusion(name: str, dim: int, spatial: dict):
-    ratio = spatial.get("voxel_size", [0.4])[0]
-    ds = spatial.get("downsample_rate", 4)
-    if name == "fcooper":
-        return SpatialFusion(discrete_ratio=ratio, downsample_rate=ds)
-    if name in ("att", "self_att"):
-        return AttFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
-    if name == "disconet":
-        return DiscoNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
-    if name == "v2vnet":
-        return V2VNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
-    if name in ("swap", "fax", "cobevt"):
-        return SwapFusionEncoder(dim, discrete_ratio=ratio,
-                                 downsample_rate=ds)
-    raise ValueError(f"unknown fusion {name!r}")
 
 
 class CameraDetector(nn.Module):
@@ -55,7 +31,7 @@ class CameraDetector(nn.Module):
     def __call__(self, batch: dict, train: bool = False):
         cams = batch["camera"]
         b, l = cams.shape[:2]
-        bev = CrossViewTransformer(self.config["camera"])(
+        bev = make_camera_encoder(self.config["camera"])(
             cams.reshape(b * l, *cams.shape[2:]),
             batch["intrinsics"].reshape(b * l, *batch["intrinsics"].shape[2:]),
             batch["extrinsics"].reshape(b * l, *batch["extrinsics"].shape[2:]),
@@ -89,7 +65,7 @@ class CooperativeDetector(nn.Module):
             x = PointPillarEncoder(cfg["lidar"])(points, pmask, train)
         else:
             cams = batch["camera"]
-            x = CrossViewTransformer(cfg["camera"])(
+            x = make_camera_encoder(cfg["camera"])(
                 cams.reshape(b * l, *cams.shape[2:]),
                 batch["intrinsics"].reshape(
                     b * l, *batch["intrinsics"].shape[2:]),
@@ -105,7 +81,7 @@ class CooperativeDetector(nn.Module):
             fused = HeteroFusion(cfg["hetero_fusion"])(
                 x, mode, pairwise, agent_mask, deterministic=not train)
         else:
-            fused = _make_fusion(self.fusion_name, c, spatial)(
+            fused = make_fusion(self.fusion_name, c, spatial)(
                 x, mode, pairwise, agent_mask)
 
         dec = cfg.get("decoder")
@@ -151,6 +127,11 @@ _MIXED_FUSIONS = {
 def build_model(model_cfg: dict) -> nn.Module:
     name = model_cfg["core_method"].lower()
     args = model_cfg["args"]
+    # reference model names carry the camera branch as a prefix
+    if name.startswith(("fax_", "bevformer_")) and "camera" in args:
+        enc = name.split("_", 1)[0]
+        args = dict(args, camera=dict(args["camera"]))
+        args["camera"].setdefault("encoder", enc)
     if name in _HETERO_NAMES:
         return HMViT(args)
     if name in _MIXED_FUSIONS:
