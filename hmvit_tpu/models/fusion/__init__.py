@@ -10,6 +10,7 @@ Each is an alternative to H3GAT above the same warped-feature interface
 from .basic import AttFusion, DiscoNetFusion, SpatialFusion  # noqa: F401
 from .v2vnet import V2VNetFusion  # noqa: F401
 from .swap import SwapFusionEncoder  # noqa: F401
+from .v2xvit import V2XTransformer  # noqa: F401
 
 
 def make_fusion(name: str, dim: int, spatial: dict):
@@ -27,4 +28,6 @@ def make_fusion(name: str, dim: int, spatial: dict):
     if name in ("swap", "fax", "cobevt"):
         return SwapFusionEncoder(dim, discrete_ratio=ratio,
                                  downsample_rate=ds)
+    if name in ("v2xvit", "v2xt"):
+        return V2XTransformer(dim, discrete_ratio=ratio, downsample_rate=ds)
     raise ValueError(f"unknown fusion {name!r}")

@@ -105,6 +105,8 @@ _LIDAR_FUSIONS = {
     "point_pillar_disconet": "disconet",
     "point_pillar_swap": "swap",
     "point_pillar_cobevt": "swap",
+    "point_pillar_transformer": "v2xvit",
+    "point_pillar_v2xt": "v2xvit",
 }
 _CAMERA_FUSIONS = {
     "cvt_fcooper": "fcooper",
@@ -121,7 +123,13 @@ _MIXED_FUSIONS = {
     "fax_point_pillar_disconet": "disconet",
     "fax_point_pillar_fax": "swap",
     "bevformer_point_pillar_fax": "swap",
+    "fax_point_pillar_v2xt": "v2xvit",
+    "bevformer_point_pillar_v2xt": "v2xvit",
 }
+_CAMERA_FUSIONS.update({
+    "cvt_v2xt": "v2xvit",
+    "v2xt_camera": "v2xvit",
+})
 
 
 def build_model(model_cfg: dict) -> nn.Module:

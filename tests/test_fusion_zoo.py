@@ -10,6 +10,7 @@ from hmvit_tpu.models.fusion import (
     SpatialFusion,
     SwapFusionEncoder,
     V2VNetFusion,
+    V2XTransformer,
 )
 
 B, L, H, W, C = 1, 3, 16, 16, 32
@@ -37,6 +38,9 @@ MODULES = [
     ("swap", lambda: SwapFusionEncoder(C, depth=1, window=4, dim_head=8,
                                        discrete_ratio=1.0,
                                        downsample_rate=1)),
+    ("v2xvit", lambda: V2XTransformer(C, depth=1, heads=4, windows=(4,),
+                                      discrete_ratio=1.0,
+                                      downsample_rate=1)),
 ]
 
 
@@ -57,9 +61,10 @@ def test_fusion_interface_and_masking(name, factory):
     np.testing.assert_allclose(np.asarray(base), np.asarray(poisoned),
                                atol=2e-4)
 
-    # a live agent's features must influence the ego output
-    out2 = module.apply(variables, x.at[:, 1].add(1.0), mode, pairwise,
-                        agent_mask)
+    # a live agent's features must influence the ego output (single
+    # channel: a uniform shift is invisible to pre-LayerNorm modules)
+    out2 = module.apply(variables, x.at[:, 1, :, :, 0].add(3.0), mode,
+                        pairwise, agent_mask)
     assert np.abs(np.asarray(out2 - out)).max() > 1e-4
 
 
