@@ -63,7 +63,17 @@ PROD_CFG = {
 
 def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
          image_size: int = 512, max_points: int = 30000):
+    import os
+
     import jax
+
+    # persistent compilation cache: the production graph takes a long
+    # time to compile through the remote tunnel; cache it in-repo
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     import jax.numpy as jnp
 
     from hmvit_tpu.data.synthetic import make_hetero_batch

@@ -50,7 +50,8 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
     pillar), ``center_offset`` ((N*P, 3) offset from the pillar center),
     ``num_clouds``, and per-pillar ``count`` ((N*nx*ny,)).
     """
-    nx, ny = grid_size
+    nx, ny = grid_size[0], grid_size[1]
+    nz = grid_size[2] if len(grid_size) > 2 else 1
     if points.ndim == 3:
         n_clouds, pts_per = points.shape[:2]
         cloud_idx = jnp.repeat(jnp.arange(n_clouds, dtype=jnp.int32),
@@ -61,7 +62,7 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         n_clouds = 1
         cloud_idx = jnp.zeros((points.shape[0],), jnp.int32)
 
-    num_pillars = n_clouds * nx * ny
+    num_pillars = n_clouds * nx * ny * nz
     voxel_size = jnp.asarray(voxel_size, jnp.float32)
     pc_range = jnp.asarray(pc_range, jnp.float32)
 
@@ -70,12 +71,12 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
     in_range = (
         (gi[:, 0] >= 0) & (gi[:, 0] < nx)
         & (gi[:, 1] >= 0) & (gi[:, 1] < ny)
-        & (gi[:, 2] >= 0) & (gi[:, 2] < 1)
+        & (gi[:, 2] >= 0) & (gi[:, 2] < nz)
         & (points_mask > 0)
     )
     pid = jnp.where(
         in_range,
-        cloud_idx * (nx * ny) + gi[:, 1] * nx + gi[:, 0],
+        ((cloud_idx * nz + gi[:, 2]) * ny + gi[:, 1]) * nx + gi[:, 0],
         num_pillars,
     )
 
@@ -103,12 +104,7 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
     mean_per_pillar = sums / jnp.maximum(count[:, None], 1.0)
     mean_xyz = mean_per_pillar[pid]
 
-    centers_xy = (gi[:, :2].astype(jnp.float32) + 0.5) * voxel_size[:2] \
-        + pc_range[:2]
-    center_z = 0.5 * voxel_size[2] + pc_range[2]
-    centers = jnp.concatenate(
-        [centers_xy, jnp.full((p, 1), center_z, jnp.float32)], axis=1
-    )
+    centers = (gi.astype(jnp.float32) + 0.5) * voxel_size + pc_range[:3]
     return {
         "pillar_id": pid,
         "keep": keep,
@@ -143,15 +139,19 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
     """Max-pool per-point features into the dense BEV grid.
 
     point_features: (P, C) flat over all clouds; returns
-    (num_clouds, ny, nx, C).  Empty pillars are 0 (identical to the
-    reference's zero-initialized scatter since the PFN output is
-    post-ReLU, i.e. non-negative).
+    (num_clouds, ny, nx, C), or (num_clouds, nz, ny, nx, C) for a 3-axis
+    grid.  Empty cells are 0 (identical to the reference's
+    zero-initialized scatter since the PFN output is post-ReLU, i.e.
+    non-negative).
     """
-    nx, ny = grid_size
-    num_pillars = num_clouds * nx * ny
+    nx, ny = grid_size[0], grid_size[1]
+    nz = grid_size[2] if len(grid_size) > 2 else 1
+    num_pillars = num_clouds * nx * ny * nz
     neg = jnp.where(keep[:, None], point_features,
                     jnp.full_like(point_features, -jnp.inf))
     pid = jnp.where(keep, pillar_id, num_pillars)
     dense = jax.ops.segment_max(neg, pid, num_segments=num_pillars + 1)
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
+    if nz > 1:
+        return dense[:-1].reshape(num_clouds, nz, ny, nx, -1)
     return dense[:-1].reshape(num_clouds, ny, nx, -1)
