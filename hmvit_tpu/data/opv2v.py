@@ -25,7 +25,7 @@ import yaml
 from .. import COM_RANGE
 from ..utils import boxes as box_utils
 from ..utils import transforms as T
-from .pcd_io import read_pcd
+from .pcd_native import read_pcd_padded
 
 
 class _FrameLoader(yaml.SafeLoader):
@@ -246,10 +246,10 @@ class HeteroCooperativeDataset:
                                       self.lidar_range, self.order)
             )
 
-            pts = read_pcd(cavs[cav][eff_ts]["pcd"])
-            if self.train:
-                pts = pts[self._rng.permutation(len(pts))]
-            pts = mask_ego_points(pts)
+            raw, raw_mask = read_pcd_padded(
+                cavs[cav][eff_ts]["pcd"], self.max_points + 4096,
+                seed=int(self._rng.integers(1 << 31)), shuffle=self.train)
+            pts = mask_ego_points(raw[raw_mask > 0])
             n = min(len(pts), self.max_points)
             frame["points"][slot, :n] = pts[:n]
             frame["points_mask"][slot, :n] = 1

@@ -93,74 +93,72 @@ def warp_affine(src, m, dsize, mode: str = "bilinear"):
 
     Equivalent to affine_grid(align_corners=True) + grid_sample with zero
     padding: ``m`` maps source pixels to destination pixels; sampling uses
-    its inverse.
+    its inverse.  Internally channel-last (row-contiguous gathers).
     """
-    n, c, h, w = src.shape
-    out_h, out_w = dsize
-    dtype = src.dtype
-
-    m33 = _affine_to_homography(m.astype(jnp.float32))
-    src_norm = _normal_transform_pixel(h, w, jnp.float32)
-    dst_norm = _normal_transform_pixel(out_h, out_w, jnp.float32)
-    # dst_norm @ M @ inv(src_norm), then inverted to map dst -> src
-    chain = _mat3(dst_norm[None], _mat3(m33, _inv_affine3(src_norm)[None]))
-    theta = _inv_affine3(chain)[:, :2, :]  # (N, 2, 3) normalized dst->src
-
-    xs = jnp.linspace(-1.0, 1.0, out_w, dtype=jnp.float32)
-    ys = jnp.linspace(-1.0, 1.0, out_h, dtype=jnp.float32)
-    gx, gy = jnp.meshgrid(xs, ys)  # (out_h, out_w)
-    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H', W', 3)
-
-    # (N, H', W', 2) normalized source coords
-    coords = jnp.einsum("nij,hwj->nhwi", theta, grid, precision=_HI)
-    px = (coords[..., 0] + 1.0) * (w - 1) / 2.0
-    py = (coords[..., 1] + 1.0) * (h - 1) / 2.0
-
-    if mode == "nearest":
-        x0 = jnp.round(px).astype(jnp.int32)
-        y0 = jnp.round(py).astype(jnp.int32)
-        valid = (x0 >= 0) & (x0 < w) & (y0 >= 0) & (y0 < h)
-        vals = _gather_nchw(src, y0, x0, w)
-        return jnp.where(valid[:, None], vals, jnp.zeros((), dtype))
-
-    x0 = jnp.floor(px).astype(jnp.int32)
-    y0 = jnp.floor(py).astype(jnp.int32)
-    x1, y1 = x0 + 1, y0 + 1
-    wx = (px - x0.astype(px.dtype)).astype(dtype)
-    wy = (py - y0.astype(py.dtype)).astype(dtype)
-
-    def sample(yy, xx):
-        valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
-        vals = _gather_nchw(src, yy, xx, w)
-        return jnp.where(valid[:, None], vals, jnp.zeros((), dtype))
-
-    v00 = sample(y0, x0)
-    v01 = sample(y0, x1)
-    v10 = sample(y1, x0)
-    v11 = sample(y1, x1)
-    wx_, wy_ = wx[:, None], wy[:, None]
-    top = v00 * (1 - wx_) + v01 * wx_
-    bot = v10 * (1 - wx_) + v11 * wx_
-    return top * (1 - wy_) + bot * wy_
-
-
-def _gather_nchw(src, yy, xx, w):
-    """Gather src (N, C, H, W) at integer coords (N, H', W') -> (N, C, H', W')."""
-    n, c = src.shape[:2]
-    out_h, out_w = yy.shape[1:]
-    flat = src.reshape(n, c, -1)
-    idx = jnp.clip(yy, 0, src.shape[2] - 1) * w + jnp.clip(xx, 0, w - 1)
-    idx = jnp.broadcast_to(idx.reshape(n, 1, -1), (n, c, out_h * out_w))
-    return jnp.take_along_axis(flat, idx, axis=2).reshape(n, c, out_h, out_w)
+    out = warp_affine_nhwc(jnp.moveaxis(src, 1, -1), m, dsize, mode)
+    return jnp.moveaxis(out, -1, 1)
 
 
 def warp_affine_nhwc(src, m, dsize, mode: str = "bilinear"):
     """Channel-last variant of :func:`warp_affine` (src: (N, H, W, C)).
 
-    Gathers whole C-vectors per output pixel — the natural TPU layout
-    (lanes along channels)."""
-    out = warp_affine(jnp.moveaxis(src, -1, 1), m, dsize, mode)
-    return jnp.moveaxis(out, 1, -1)
+    Gathers whole contiguous C-rows per output pixel (one gather of
+    slice size C instead of per-element gathers) — the layout the TPU
+    memory system wants."""
+    n, h, w, c = src.shape
+    out_h, out_w = dsize
+    dtype = src.dtype
+    px, py = _source_coords(m, (h, w), dsize)
+
+    flat = src.reshape(n, h * w, c)
+
+    def gather(yy, xx):
+        valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(n, -1, 1), axis=1
+        ).reshape(n, out_h, out_w, c)
+        return jnp.where(valid[..., None], vals, jnp.zeros((), dtype))
+
+    if mode == "nearest":
+        return gather(jnp.round(py).astype(jnp.int32),
+                      jnp.round(px).astype(jnp.int32))
+
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    wx = (px - x0.astype(px.dtype)).astype(dtype)[..., None]
+    wy = (py - y0.astype(py.dtype)).astype(dtype)[..., None]
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _source_coords(m, src_hw, dsize):
+    """Normalized-chain source pixel coordinates for each output pixel.
+
+    Shared between the NCHW and NHWC warps; matches
+    affine_grid(align_corners=True) + grid_sample conventions.
+    """
+    h, w = src_hw
+    out_h, out_w = dsize
+    m33 = _affine_to_homography(m.astype(jnp.float32))
+    src_norm = _normal_transform_pixel(h, w, jnp.float32)
+    dst_norm = _normal_transform_pixel(out_h, out_w, jnp.float32)
+    chain = _mat3(dst_norm[None], _mat3(m33, _inv_affine3(src_norm)[None]))
+    theta = _inv_affine3(chain)[:, :2, :]
+
+    xs = jnp.linspace(-1.0, 1.0, out_w, dtype=jnp.float32)
+    ys = jnp.linspace(-1.0, 1.0, out_h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)
+    coords = jnp.einsum("nij,hwj->nhwi", theta, grid, precision=_HI)
+    px = (coords[..., 0] + 1.0) * (w - 1) / 2.0
+    py = (coords[..., 1] + 1.0) * (h - 1) / 2.0
+    return px, py
 
 
 def warp_bev_nhwc(features, transform, discrete_ratio: float,
@@ -192,10 +190,10 @@ def roi_mask(shape, transform, discrete_ratio: float, downsample_rate: float):
     """Valid-region mask after warping: warp an all-ones map with nearest
     interpolation. shape: (B, L, H, W) -> (B, L, 1, H, W) in {0, 1}."""
     b, l, h, w = shape
-    ones = jnp.ones((b * l, 1, h, w), jnp.float32)
+    ones = jnp.ones((b * l, h, w, 1), jnp.float32)
     m = discretize_transform(transform, discrete_ratio, downsample_rate)
     t = centered_affine(m.reshape(-1, 2, 3), (h, w))
-    out = warp_affine(ones, t, (h, w), mode="nearest")
+    out = warp_affine_nhwc(ones, t, (h, w), mode="nearest")
     return out.reshape(b, l, 1, h, w)
 
 
