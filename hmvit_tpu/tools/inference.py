@@ -1,16 +1,26 @@
 """Evaluation CLI.
 
 Mirrors the reference's inference surface (reference:
-opencood/tools/inference_camera.py:17-265): loads a run directory's config
-snapshot + last checkpoint, sweeps the validation split at batch 1,
-decodes on-device, accumulates IoU + distance AP, prints the table and
-dumps eval.yaml.
+opencood/tools/inference_camera.py:17-265 and infrence_utils.py:12-185):
+loads a run directory's config snapshot + last checkpoint, sweeps the
+validation split at batch 1, decodes on-device, accumulates IoU +
+distance AP, prints the table and dumps eval.yaml.
+
+Fusion methods:
+  intermediate  one cooperative model on the full agent batch;
+  no            ego only (other agents masked out);
+  early         all point clouds projected to ego and merged;
+  late          per-CAV single-agent inference in each CAV's own frame,
+                boxes projected to ego, joint NMS — with optional
+                per-modality models (--camera_model_dir /
+                --lidar_model_dir) for the mixed fleet.
 
 Usage:
   python -m hmvit_tpu.tools.inference --model_dir runs/<run>
-      [--fusion_method intermediate|no] [--ap_mode iou|distance|both]
-      [--camera_to_lidar_ratio R] [--ego_mode m] [--synthetic]
-      [--save_npy]
+      [--fusion_method intermediate|no|early|late]
+      [--camera_model_dir d --lidar_model_dir d]
+      [--ap_mode iou|distance|both] [--camera_to_lidar_ratio R]
+      [--ego_mode m] [--synthetic] [--save_npy] [--save_vis]
 """
 from __future__ import annotations
 
@@ -24,8 +34,10 @@ import yaml
 def parse_args(argv=None):
     p = argparse.ArgumentParser("hmvit_tpu inference")
     p.add_argument("--model_dir", required=True)
+    p.add_argument("--camera_model_dir", default="")
+    p.add_argument("--lidar_model_dir", default="")
     p.add_argument("--fusion_method", default="intermediate",
-                   choices=["intermediate", "no"])
+                   choices=["intermediate", "no", "early", "late"])
     p.add_argument("--ap_mode", default="both",
                    choices=["iou", "distance", "both"])
     p.add_argument("--camera_to_lidar_ratio", type=float, default=None)
@@ -34,20 +46,48 @@ def parse_args(argv=None):
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--save_npy", action="store_true")
+    p.add_argument("--save_vis", action="store_true")
     return p.parse_args(argv)
+
+
+def load_runnable(model_dir: str, example_batch):
+    """(forward_fn, variables) for a run directory."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import load_config
+    from ..models.zoo import build_model
+    from ..train.checkpointing import restore_checkpoint
+
+    params_cfg = load_config("", model_dir=model_dir)
+    model = build_model(params_cfg["model"])
+    jb = {k: jnp.asarray(v) for k, v in example_batch.items()
+          if k not in ("object_ids", "to_ego")}
+    variables = model.init(jax.random.key(0), jb, train=False)
+    ckpt_dir = os.path.join(os.path.abspath(model_dir), "ckpt")
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+    )
+    restored = restore_checkpoint(ckpt_dir, abstract)
+    if restored is None:
+        print(f"WARNING: no checkpoint in {model_dir}, random weights")
+    else:
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+    forward = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    return forward, variables
 
 
 def main(argv=None):
     args = parse_args(argv)
 
-    import jax
     import jax.numpy as jnp
 
     from ..config import load_config
     from ..data.opv2v import HeteroCooperativeDataset
-    from ..models.zoo import build_model
     from ..postprocess import AnchorPostprocessor
-    from ..train.checkpointing import restore_checkpoint
     from ..utils import boxes as box_utils
     from ..utils import evaluation as E
 
@@ -75,53 +115,63 @@ def main(argv=None):
     pp = AnchorPostprocessor(params["postprocess"], train=False)
     anchors = pp.generate_anchor_box()
 
-    model = build_model(params["model"])
+    def to_jnp(batch):
+        return {k: jnp.asarray(v) for k, v in batch.items()
+                if k not in ("object_ids", "to_ego")}
+
     example = dataset.collate_batch([dataset[0]])
-    example = {k: jnp.asarray(v) for k, v in example.items()
-               if k != "object_ids"}
-    variables = model.init(jax.random.key(0), example, train=False)
-
-    ckpt_dir = os.path.join(os.path.abspath(args.model_dir), "ckpt")
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-        {"params": variables["params"],
-         "batch_stats": variables.get("batch_stats", {})},
-    )
-    restored = restore_checkpoint(ckpt_dir, abstract)
-    if restored is None:
-        print("WARNING: no checkpoint found, evaluating random weights")
-    else:
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
-
-    forward = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    forward, variables = load_runnable(args.model_dir, example)
+    models = {"default": (forward, variables)}
+    if args.fusion_method == "late":
+        if args.camera_model_dir:
+            models["camera"] = load_runnable(args.camera_model_dir, example)
+        if args.lidar_model_dir:
+            models["lidar"] = load_runnable(args.lidar_model_dir, example)
 
     stat = E.new_result_stat(args.ap_mode)
     n_frames = len(dataset) if not args.max_frames else min(
         len(dataset), args.max_frames)
     npy_dir = os.path.join(args.model_dir, "npy")
+    vis_dir = os.path.join(args.model_dir, "vis")
     if args.save_npy:
         os.makedirs(npy_dir, exist_ok=True)
+    if args.save_vis:
+        os.makedirs(vis_dir, exist_ok=True)
 
     for i in range(n_frames):
         frame = dataset[i]
-        if args.fusion_method == "no":
-            # ego only: zero out the other agents
-            frame["agent_mask"][1:] = 0
-            frame["points_mask"][1:] = 0
-            frame["record_len"] = np.int32(1)
-        batch = dataset.collate_batch([frame])
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if k != "object_ids"}
-        out = forward(variables, jb)
+        if args.fusion_method == "late":
+            data_dict, output_dict = {}, {}
+            for ci, sub in enumerate(dataset.late_fusion_frame(i)):
+                key = "camera" if sub["mode"][0] == 0 else "lidar"
+                fwd, var = models.get(key, models["default"])
+                out = fwd(var, to_jnp(dataset.collate_batch([sub])))
+                data_dict[ci] = {
+                    "transformation_matrix": sub["to_ego"],
+                    "anchor_box": anchors,
+                }
+                output_dict[ci] = {"psm": np.asarray(out["psm"]),
+                                   "rm": np.asarray(out["rm"])}
+            corners, scores = pp.post_process(data_dict, output_dict)
+        else:
+            if args.fusion_method == "early":
+                frame = dataset.early_fusion_frame(i)
+            elif args.fusion_method == "no":
+                frame = dict(frame)
+                frame["agent_mask"] = frame["agent_mask"].copy()
+                frame["points_mask"] = frame["points_mask"].copy()
+                frame["agent_mask"][1:] = 0
+                frame["points_mask"][1:] = 0
+                frame["record_len"] = np.int32(1)
+            out = forward(variables, to_jnp(dataset.collate_batch([frame])))
+            corners, scores = pp.post_process(
+                {"ego": {"transformation_matrix": np.eye(4),
+                         "anchor_box": anchors,
+                         "no_post_projection": True}},
+                {"ego": {"psm": np.asarray(out["psm"]),
+                         "rm": np.asarray(out["rm"])}},
+            )
 
-        corners, scores = pp.post_process(
-            {"ego": {"transformation_matrix": np.eye(4),
-                     "anchor_box": anchors,
-                     "no_post_projection": True}},
-            {"ego": {"psm": np.asarray(out["psm"]),
-                     "rm": np.asarray(out["rm"])}},
-        )
         gt_mask = frame["object_bbx_mask"] > 0
         gt_corners = box_utils.boxes_to_corners_3d(
             frame["object_bbx_center"][gt_mask], pp.order)
@@ -130,6 +180,13 @@ def main(argv=None):
             np.save(os.path.join(npy_dir, f"{i:04d}_pred.npy"),
                     corners if corners is not None else np.zeros((0, 8, 3)))
             np.save(os.path.join(npy_dir, f"{i:04d}_gt.npy"), gt_corners)
+        if args.save_vis:
+            from ..visualization.vis import visualize_bev
+
+            pts = frame["points"][0][frame["points_mask"][0] > 0]
+            visualize_bev(pts, corners, gt_corners,
+                          params["preprocess"]["cav_lidar_range"],
+                          save_path=os.path.join(vis_dir, f"{i:05d}.png"))
 
     results = E.final_results(stat)
     if "iou" in results:
