@@ -62,7 +62,8 @@ PROD_CFG = {
 
 
 def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
-         image_size: int = 512, max_points: int = 30000):
+         image_size: int = 512, max_points: int = 30000,
+         bf16: bool = False):
     import os
 
     import jax
@@ -91,6 +92,13 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     model = HMViT(PROD_CFG)
     variables = model.init(jax.random.key(0), batch, train=False)
 
+    if bf16:
+        def to_bf16(x):
+            return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+
+        variables = jax.tree_util.tree_map(to_bf16, variables)
+        batch = jax.tree_util.tree_map(to_bf16, batch)
+
     @jax.jit
     def forward(variables, batch):
         return model.apply(variables, batch, train=False)
@@ -99,7 +107,7 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     # block_until_ready returns before execution completes; a host
     # transfer of a result scalar is the only reliable sync.
     def sync(o):
-        return float(jnp.sum(o["psm"]))
+        return float(jnp.sum(o["psm"].astype(jnp.float32)))
 
     out = forward(variables, batch)  # compile + warm
     sync(out)
@@ -120,4 +128,6 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(bf16="--bf16" in sys.argv)

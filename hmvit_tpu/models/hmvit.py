@@ -35,6 +35,10 @@ def make_camera_encoder(cfg: dict, name: str = "camera_encoder"):
         from .bevformer import BEVFormerEncoder
 
         return BEVFormerEncoder(cfg, name=name)
+    if kind == "vpn":
+        from .vpn import ViewParseNetwork
+
+        return ViewParseNetwork(cfg, name=name)
     raise ValueError(f"unknown camera encoder {kind!r}")
 
 

@@ -146,11 +146,15 @@ def main(argv=None):
         start_epoch = last
         print(f"resumed from epoch {last}")
 
+    from ..train.losses import build_loss
+
+    loss_fn, loss_kwargs = build_loss(params.get("loss", {}))
     mesh = make_mesh()
     state = replicate_state(state, mesh)
-    train_step = make_train_step(model, tx,
-                                 loss_kwargs=_loss_kwargs(params))
-    eval_step = make_eval_step(model, loss_kwargs=_loss_kwargs(params))
+    train_step = make_train_step(model, tx, loss_fn=loss_fn,
+                                 loss_kwargs=loss_kwargs)
+    eval_step = make_eval_step(model, loss_fn=loss_fn,
+                               loss_kwargs=loss_kwargs)
     rng = jax.random.key(args.seed + 1)
 
     metrics_path = os.path.join(run_dir, "metrics.jsonl")
@@ -211,12 +215,6 @@ def main(argv=None):
             dataset.reinitialize()
     print(f"training done -> {run_dir}")
     return run_dir
-
-
-def _loss_kwargs(params):
-    largs = params.get("loss", {}).get("args", {})
-    return {"cls_weight": float(largs.get("cls_weight", 1.0)),
-            "reg_weight": float(largs.get("reg", 2.0))}
 
 
 if __name__ == "__main__":

@@ -49,6 +49,53 @@ def add_sin_difference(pred, target, dim=6):
     return pred, target
 
 
+def voxel_net_loss(output, labels, alpha=1.5, beta=1.0):
+    """VoxelNet-style loss: weighted BCE on the score map + smooth-L1
+    regression on positives (reference: opencood/loss/voxel_net_loss.py).
+    Shares the label contract with :func:`point_pillar_loss`."""
+    psm, rm = output["psm"], output["rm"]
+    b = psm.shape[0]
+    pos = labels["pos_equal_one"].reshape(b, -1)
+    neg = labels["neg_equal_one"].reshape(b, -1)
+    logits = jnp.transpose(psm, (0, 2, 3, 1)).reshape(b, -1)
+    prob = 1.0 / (1.0 + jnp.exp(-logits))
+    eps = 1e-6
+    pos_loss = -jnp.log(prob + eps) * pos
+    neg_loss = -jnp.log(1.0 - prob + eps) * neg
+    conf = (
+        alpha * pos_loss.sum() / jnp.clip(pos.sum(), 1.0, None)
+        + beta * neg_loss.sum() / jnp.clip(neg.sum(), 1.0, None)
+    ) / b
+    rm_flat = jnp.transpose(rm, (0, 2, 3, 1)).reshape(b, -1, 7)
+    targets = labels["targets"].reshape(b, -1, 7)
+    reg = weighted_smooth_l1(rm_flat, targets,
+                             pos / jnp.clip(pos.sum(), 1.0, None))
+    reg_loss = reg.sum() / b
+    total = conf + reg_loss
+    return total, {"conf_loss": conf, "reg_loss": reg_loss,
+                   "total_loss": total}
+
+
+def pixor_loss(output, labels, cls_weight=1.0, reg_weight=1.0):
+    """PIXOR loss: per-pixel focal classification + smooth-L1 on the
+    dense regression map (reference: opencood/loss/pixor_loss.py)."""
+    psm, rm = output["psm"], output["rm"]
+    b = psm.shape[0]
+    cls_labels = labels["pos_equal_one"].reshape(b, -1)
+    logits = jnp.transpose(psm, (0, 2, 3, 1)).reshape(b, -1, 1)
+    pos_norm = jnp.clip(cls_labels.sum(1, keepdims=True), 1.0, None)
+    conf = sigmoid_focal_loss(
+        logits, cls_labels[..., None], (1.0 / pos_norm)[..., None]
+    ).sum() / b * cls_weight
+    rm_flat = jnp.transpose(rm, (0, 2, 3, 1)).reshape(b, -1, 7)
+    targets = labels["targets"].reshape(b, -1, 7)
+    reg = weighted_smooth_l1(rm_flat, targets, cls_labels / pos_norm)
+    reg_loss = reg.sum() / b * reg_weight
+    total = conf + reg_loss
+    return total, {"conf_loss": conf, "reg_loss": reg_loss,
+                   "total_loss": total}
+
+
 def point_pillar_loss(output, labels, cls_weight=1.0, reg_weight=2.0):
     """Total detection loss.
 
@@ -80,3 +127,23 @@ def point_pillar_loss(output, labels, cls_weight=1.0, reg_weight=2.0):
     total = conf_loss + reg_loss
     return total, {"conf_loss": conf_loss, "reg_loss": reg_loss,
                    "total_loss": total}
+
+
+LOSS_REGISTRY = {
+    "point_pillar_loss": point_pillar_loss,
+    "voxel_net_loss": voxel_net_loss,
+    "pixor_loss": pixor_loss,
+}
+
+
+def build_loss(loss_cfg: dict):
+    """Loss callable + kwargs from the hypes loss block."""
+    name = loss_cfg.get("core_method", "point_pillar_loss").lower()
+    fn = LOSS_REGISTRY[name]
+    args = loss_cfg.get("args", {})
+    if name == "point_pillar_loss":
+        kwargs = {"cls_weight": float(args.get("cls_weight", 1.0)),
+                  "reg_weight": float(args.get("reg", 2.0))}
+    else:
+        kwargs = {}
+    return fn, kwargs
