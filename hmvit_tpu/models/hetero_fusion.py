@@ -43,6 +43,23 @@ from .layers import (
 )
 
 
+def pairwise_roi_mask(pairwise, agent_mask, hw, discrete_ratio,
+                      downsample_rate):
+    """(B, I, H, W, J) combined warped-ROI and agent-validity mask for
+    every (receiver, sender) pair.  Depends only on geometry, so fusion
+    stacks compute it once and reuse it across phases/iterations."""
+    b, l = agent_mask.shape
+    h, w = hw
+    t_ij = jnp.swapaxes(pairwise, 1, 2)
+    mask = roi_and_agent_mask(
+        b * l, l, h, w,
+        jnp.broadcast_to(agent_mask[:, None], (b, l, l)).reshape(-1, l),
+        t_ij.reshape(-1, l, 4, 4),
+        discrete_ratio, downsample_rate,
+    )  # (B*I, H, W, 1, J)
+    return mask.reshape(b, l, h, w, l)
+
+
 def relative_position_index(win: int) -> np.ndarray:
     """(win^2, win^2) index into the (2*win-1)^2 relative-bias table."""
     coords = np.stack(
@@ -105,7 +122,7 @@ class HeteroWindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
-                 deterministic: bool = True):
+                 deterministic: bool = True, pair_mask=None):
         b, l, h, w, c = x.shape
         heads = self.dim // self.dim_head
         d = self.dim_head
@@ -116,27 +133,27 @@ class HeteroWindowAttention(nn.Module):
         k = HeteroDense(self.dim, self.num_types, name="to_k")(x, mode)
         v = HeteroDense(self.dim, self.num_types, name="to_v")(x, mode)
 
-        # Warp K/V of every sender j into every receiver i's frame.
+        # Warp K/V of every sender j into every receiver i's frame, as one
+        # concatenated 2C-channel tensor (one gather pass).
         # transform[b, i, j] = pairwise[b, j, i] (j -> i).
         t_ij = jnp.swapaxes(pairwise, 1, 2)  # (B, I, J, 4, 4)
-        kv = jnp.stack([k, v], axis=0)  # (2, B, J, H, W, C)
-        kv_rep = jnp.broadcast_to(kv[:, :, None], (2, b, l, l, h, w, c))
-        t_rep = jnp.broadcast_to(t_ij[None], (2, b, l, l, 4, 4))
+        kv = jnp.concatenate([k, v], axis=-1)  # (B, J, H, W, 2C)
+        kv_rep = jnp.broadcast_to(kv[:, None], (b, l, l, h, w, 2 * c))
         kv_pair = warp_bev_nhwc(
-            kv_rep.reshape(2 * b * l, l, h, w, c),
-            t_rep.reshape(2 * b * l, l, 4, 4),
+            kv_rep.reshape(b * l, l, h, w, 2 * c),
+            t_ij.reshape(b * l, l, 4, 4),
             self.discrete_ratio, self.downsample_rate,
-        ).reshape(2, b, l, l, h, w, c)
-        k_pair, v_pair = kv_pair[0], kv_pair[1]  # (B, I, J, H, W, C)
+        ).reshape(b, l, l, h, w, 2 * c)
+        k_pair = kv_pair[..., :c]
+        v_pair = kv_pair[..., c:]  # (B, I, J, H, W, C)
 
-        # combined ROI (nearest-warped ones) and agent-validity mask
-        com_mask = roi_and_agent_mask(
-            b * l, l, h, w,
-            jnp.broadcast_to(agent_mask[:, None], (b, l, l)).reshape(-1, l),
-            t_ij.reshape(-1, l, 4, 4),
-            self.discrete_ratio, self.downsample_rate,
-        )  # (B*I, H, W, 1, J)
-        com_mask = com_mask.reshape(b, l, h, w, l)  # (B, I, H, W, J)
+        # combined ROI (nearest-warped ones) and agent-validity mask,
+        # computed once per fusion stack and passed in
+        if pair_mask is None:
+            pair_mask = pairwise_roi_mask(
+                pairwise, agent_mask, (h, w),
+                self.discrete_ratio, self.downsample_rate)
+        com_mask = pair_mask  # (B, I, H, W, J)
 
         # relation-typed weights per (receiver, sender) pair
         num_rel = self.num_types ** 2
@@ -243,7 +260,7 @@ class HeteroFusionBlock(nn.Module):
     downsample_rate: float = 4.0
 
     def _phase(self, style, name, x, mode, pairwise, agent_mask,
-               deterministic):
+               deterministic, pair_mask):
         x_n = HeteroLayerNorm(name=f"{name}_norm")(x, mode)
         msg = HeteroWindowAttention(
             dim=self.input_dim,
@@ -254,7 +271,7 @@ class HeteroFusionBlock(nn.Module):
             discrete_ratio=self.discrete_ratio,
             downsample_rate=self.downsample_rate,
             name=f"{name}_attn",
-        )(x_n, mode, pairwise, agent_mask, deterministic)
+        )(x_n, mode, pairwise, agent_mask, deterministic, pair_mask)
         msg = msg * agent_mask[:, :, None, None, None]
         x = x + msg
         ffn_in = HeteroLayerNorm(name=f"{name}_ffn_norm")(x, mode)
@@ -266,18 +283,22 @@ class HeteroFusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
-                 deterministic: bool = True):
+                 deterministic: bool = True, pair_mask=None):
+        if pair_mask is None:
+            pair_mask = pairwise_roi_mask(
+                pairwise, agent_mask, x.shape[2:4],
+                self.discrete_ratio, self.downsample_rate)
         if self.architect_mode == "sequential":
             x = self._phase("local", "window", x, mode, pairwise,
-                            agent_mask, deterministic)
+                            agent_mask, deterministic, pair_mask)
             x = self._phase("grid", "grid", x, mode, pairwise, agent_mask,
-                            deterministic)
+                            deterministic, pair_mask)
             return x
         if self.architect_mode == "parallel":
             x_local = self._phase("local", "window", x, mode, pairwise,
-                                  agent_mask, deterministic)
+                                  agent_mask, deterministic, pair_mask)
             x_global = self._phase("grid", "grid", x, mode, pairwise,
-                                   agent_mask, deterministic)
+                                   agent_mask, deterministic, pair_mask)
             return SplitAttn(self.input_dim)([x_local, x_global])
         raise ValueError(f"unknown architect_mode {self.architect_mode!r}")
 
@@ -304,8 +325,12 @@ class HeteroFusion(nn.Module):
             discrete_ratio=st.get("voxel_size", [0.4])[0],
             downsample_rate=st.get("downsample_rate", 4),
         )
+        pair_mask = pairwise_roi_mask(
+            pairwise, agent_mask, x.shape[2:4],
+            st.get("voxel_size", [0.4])[0], st.get("downsample_rate", 4))
         for _ in range(cfg["num_iters"]):
-            x = block(x, mode, pairwise, agent_mask, deterministic)
+            x = block(x, mode, pairwise, agent_mask, deterministic,
+                      pair_mask)
         ego = x[:, :1]  # (B, 1, H, W, C)
         ego = HeteroFeedForward(blk["input_dim"], num_types=2,
                                 name="mlp_head")(ego, mode[:, :1])
