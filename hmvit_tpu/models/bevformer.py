@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.sampling import bilinear_sample
-from .cvt import ImageEncoder
+from .cvt import make_image_backbone
 from .layers import NaiveDecoder
 
 # CARLA/UE4 agent frame (x fwd, y right, z up) -> OpenCV camera axes
@@ -184,8 +184,7 @@ class BEVFormerEncoder(nn.Module):
         bev_range = cfg.get("bev_range", 51.2)  # metric half-extent
         n, m, img_h, img_w, _ = images.shape
 
-        feats = ImageEncoder(tuple(cfg.get("encoder_channels",
-                                           (32, 64, 128, dim))))(
+        feats = make_image_backbone(cfg)(
             images.reshape(n * m, img_h, img_w, 3), train)
         feats = nn.Dense(dim)(feats)
         fh, fw = feats.shape[1:3]

@@ -30,6 +30,19 @@ class ImageEncoder(nn.Module):
         return x
 
 
+def make_image_backbone(cfg: dict):
+    """Image backbone by config: 'backbone' names a ResNet (stride-16
+    stage 3 output), otherwise the plain strided conv encoder."""
+    backbone = cfg.get("backbone")
+    if backbone:
+        from .resnet import ResNetEncoder
+
+        return ResNetEncoder(arch=backbone,
+                             id_pick=tuple(cfg.get("id_pick", (3,))))
+    return ImageEncoder(tuple(cfg.get("encoder_channels",
+                                      (32, 64, 128, cfg.get("dim", 128)))))
+
+
 def pixel_rays(intrinsics, h: int, w: int, img_h: int, img_w: int):
     """Unprojected pixel directions K^-1 [u, v, 1] at feature resolution.
 
@@ -99,8 +112,7 @@ class CrossViewTransformer(nn.Module):
         num_blocks = cfg.get("num_blocks", 2)
         n, m, img_h, img_w, _ = images.shape
 
-        feats = ImageEncoder(tuple(cfg.get("encoder_channels",
-                                           (32, 64, 128, dim))))(
+        feats = make_image_backbone(cfg)(
             images.reshape(n * m, img_h, img_w, 3), train
         )
         fh, fw = feats.shape[1:3]

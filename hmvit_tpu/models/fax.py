@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .cvt import ImageEncoder, pixel_rays
+from .cvt import make_image_backbone, pixel_rays
 from .hetero_fusion import _window_merge, _window_split
 from .layers import NaiveDecoder
 
@@ -107,8 +107,7 @@ class FAXCameraEncoder(nn.Module):
         depth = cfg.get("depth", 2)
         n, m, img_h, img_w, _ = images.shape
 
-        feats = ImageEncoder(tuple(cfg.get("encoder_channels",
-                                           (32, 64, 128, dim))))(
+        feats = make_image_backbone(cfg)(
             images.reshape(n * m, img_h, img_w, 3), train
         )
         fh, fw = feats.shape[1:3]

@@ -75,6 +75,24 @@ class NaiveCompressor(nn.Module):
         return x
 
 
+class AutoEncoder(nn.Module):
+    """Strided conv autoencoder compressor (reference:
+    opencood/models/sub_modules/auto_encoder.py): spatial 4x squeeze +
+    channel bottleneck, then transpose-conv reconstruction."""
+    input_dim: int
+    compress_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch = self.input_dim // self.compress_ratio
+        h = ConvBNReLU(ch, stride=2, use_bias=True)(x, train)
+        h = ConvBNReLU(ch, stride=2, use_bias=True)(h, train)
+        h = nn.ConvTranspose(ch, (2, 2), strides=(2, 2))(h)
+        h = nn.relu(h)
+        h = nn.ConvTranspose(self.input_dim, (2, 2), strides=(2, 2))(h)
+        return nn.relu(h)
+
+
 class DoubleConv(nn.Module):
     features: int
     kernel: int = 3

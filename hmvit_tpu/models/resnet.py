@@ -1,0 +1,97 @@
+"""ResNet image backbones (flax, NHWC) with multi-scale outputs.
+
+Capability-equivalent of the reference's torchvision-based encoders
+(reference: opencood/models/backbones/resnet_ms.py:9-126 — ResNet 18/34/50
+with an ``id_pick`` multi-scale selection).  ``ResNetEncoder`` returns the
+feature map after the requested stage (stride 4/8/16/32) or a list of
+stages.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                    use_bias=False)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), use_bias=False)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride,) * 2,
+                               use_bias=False)(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9)(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                    use_bias=False)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.stride,) * 2,
+                               use_bias=False)(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9)(residual)
+        return nn.relu(y + residual)
+
+
+_ARCH = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+}
+
+
+class ResNetEncoder(nn.Module):
+    """(N, H, W, 3) -> feature(s) at stride 4/8/16/32.
+
+    id_pick: stage indices to return (1-4); a single index returns one
+    array, several return a list (resnet_ms semantics)."""
+    arch: str = "resnet34"
+    id_pick: Sequence[int] = (3,)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block, layout = _ARCH[self.arch]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        outs = []
+        features = 64
+        for stage, n_blocks in enumerate(layout):
+            stride = 1 if stage == 0 else 2
+            for i in range(n_blocks):
+                x = block(features, stride if i == 0 else 1)(x, train)
+            outs.append(x)
+            features *= 2
+
+        picked = [outs[i - 1] for i in self.id_pick]
+        return picked[0] if len(picked) == 1 else picked

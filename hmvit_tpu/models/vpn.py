@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .cvt import ImageEncoder
+from .cvt import make_image_backbone
 from .layers import NaiveDecoder
 
 
@@ -26,8 +26,7 @@ class ViewParseNetwork(nn.Module):
         out_dim = cfg.get("out_dim", 256)
         n, m, img_h, img_w, _ = images.shape
 
-        feats = ImageEncoder(tuple(cfg.get("encoder_channels",
-                                           (32, 64, 128, dim))))(
+        feats = make_image_backbone(cfg)(
             images.reshape(n * m, img_h, img_w, 3), train)
         fh, fw = feats.shape[1:3]
         feats = nn.Dense(dim)(feats)

@@ -1,0 +1,37 @@
+"""ResNet backbones: strides, multi-scale pick, gradient flow."""
+import jax
+import numpy as np
+import pytest
+
+from hmvit_tpu.models.resnet import ResNetEncoder
+
+
+@pytest.mark.parametrize("arch,ch3", [("resnet18", 256),
+                                      ("resnet34", 256),
+                                      ("resnet50", 1024)])
+def test_stage_shapes(arch, ch3):
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(
+        np.float32)
+    enc = ResNetEncoder(arch=arch, id_pick=(1, 3))
+    variables = enc.init(jax.random.key(0), x)
+    s1, s3 = enc.apply(variables, x)
+    assert s1.shape[1:3] == (16, 16)   # stride 4
+    assert s3.shape[1:3] == (4, 4)     # stride 16
+    assert s3.shape[-1] == ch3
+
+
+def test_backbone_selection_in_camera_encoder():
+    from hmvit_tpu.models.cvt import CrossViewTransformer
+
+    cfg = {"dim": 32, "bev_size": 4, "out_dim": 32, "num_blocks": 1,
+           "decoder_layers": 1, "backbone": "resnet18", "id_pick": [3]}
+    enc = CrossViewTransformer(cfg)
+    imgs = np.random.default_rng(0).normal(size=(1, 2, 64, 64, 3)).astype(
+        np.float32)
+    intr = np.tile(np.eye(3, dtype=np.float32), (1, 2, 1, 1))
+    intr[..., :2, 2] = 32
+    extr = np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1))
+    variables = enc.init(jax.random.key(0), imgs, intr, extr)
+    out = enc.apply(variables, imgs, intr, extr)
+    assert out.shape == (1, 8, 8, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
