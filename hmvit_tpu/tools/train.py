@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=0)
     p.add_argument("--max_points", type=int, default=60000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--half", action="store_true",
+                   help="bf16 compute (fp32 master params)")
     p.add_argument("--camera_backbone_dir", default="")
     p.add_argument("--lidar_backbone_dir", default="")
     p.add_argument("--fix_camera_backbone", action="store_true")
@@ -152,7 +154,7 @@ def main(argv=None):
     mesh = make_mesh()
     state = replicate_state(state, mesh)
     train_step = make_train_step(model, tx, loss_fn=loss_fn,
-                                 loss_kwargs=loss_kwargs)
+                                 loss_kwargs=loss_kwargs, half=args.half)
     eval_step = make_eval_step(model, loss_fn=loss_fn,
                                loss_kwargs=loss_kwargs)
     rng = jax.random.key(args.seed + 1)

@@ -35,31 +35,53 @@ def create_train_state(model, tx, example_batch, rng=None) -> TrainState:
                       opt_state=tx.init(params))
 
 
+def _to_bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        tree,
+    )
+
+
 def make_train_step(model, tx,
                     loss_fn: Callable = point_pillar_loss,
-                    loss_kwargs: dict | None = None):
+                    loss_kwargs: dict | None = None,
+                    half: bool = False):
     """Returns a jit-able (state, batch, labels, rng) -> (state, metrics).
 
     Shard the batch/labels on a mesh 'data' axis before calling and XLA
     inserts the cross-device gradient reduction automatically.
+
+    half=True is the TPU analogue of the reference's AMP ``--half``
+    (reference: opencood/tools/train_camera.py:143-197): compute in
+    bfloat16 against bf16-cast params/inputs, master params and the
+    optimizer stay fp32 (bf16's range makes loss scaling unnecessary).
     """
     loss_kwargs = loss_kwargs or {}
 
     def step(state: TrainState, batch, labels, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        batch_in = _to_bf16(batch) if half else batch
 
         def compute(params):
+            p = _to_bf16(params) if half else params
             out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, mutable=["batch_stats"],
+                {"params": p, "batch_stats": state.batch_stats},
+                batch_in, train=True, mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
+            if half:
+                out = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), out)
             total, parts = loss_fn(out, labels, **loss_kwargs)
             return total, (updates["batch_stats"], parts)
 
         (_, (new_bs, parts)), grads = jax.value_and_grad(
             compute, has_aux=True
         )(state.params)
+        if half:
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads)
         import optax
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
