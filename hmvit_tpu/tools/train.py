@@ -160,6 +160,12 @@ def main(argv=None):
     rng = jax.random.key(args.seed + 1)
 
     metrics_path = os.path.join(run_dir, "metrics.jsonl")
+    try:  # TensorBoard scalars, matching the reference's logging surface
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(os.path.join(run_dir, "tb"))
+    except ImportError:
+        tb = None
     epoches = params["train_params"]["epoches"]
     eval_freq = params["train_params"].get("eval_freq", 2)
     save_freq = params["train_params"].get("save_freq", 1)
@@ -188,6 +194,13 @@ def main(argv=None):
                            **{k: float(v) for k, v in metrics.items()}}
                     mf.write(json.dumps(rec) + "\n")
                     mf.flush()
+                    if tb is not None:
+                        gs = epoch * steps_per_epoch + step
+                        tb.add_scalar("Regression_loss",
+                                      rec["reg_loss"], gs)
+                        tb.add_scalar("Confidence_loss",
+                                      rec["conf_loss"], gs)
+                        tb.add_scalar("lr", rec["lr"], gs)
                     print(f"[epoch {epoch}][{step}/{steps_per_epoch}] "
                           f"loss={rec['total_loss']:.4f} "
                           f"conf={rec['conf_loss']:.4f} "
