@@ -287,6 +287,14 @@ class HeteroCooperativeDataset:
         frame["object_ids"] = list(objects.keys())[: self.max_objects]
         return frame
 
+    def seg_labels(self, frame: dict, grid_hw) -> np.ndarray:
+        """Dynamic-map GT rasterized from the frame's boxes."""
+        from ..models.seg_head import rasterize_boxes_to_mask
+
+        boxes = frame["object_bbx_center"][frame["object_bbx_mask"] > 0]
+        return rasterize_boxes_to_mask(boxes, self.lidar_range, grid_hw,
+                                       self.order)
+
     def early_fusion_frame(self, idx: int) -> dict:
         """Early fusion: every CAV's points projected into the ego frame
         and merged into one cloud on agent slot 0 (reference:

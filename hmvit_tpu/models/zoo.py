@@ -23,6 +23,27 @@ from .pillar_encoder import PointPillarEncoder
 from .point_pillar import PointPillarDetector
 
 
+class CameraSegmentor(nn.Module):
+    """Camera-only BEV segmentation (dynamic/static map task, the
+    opcamera family's second output head)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False):
+        from .seg_head import BevSegHead
+
+        cams = batch["camera"]
+        b, l = cams.shape[:2]
+        bev = make_camera_encoder(self.config["camera"])(
+            cams.reshape(b * l, *cams.shape[2:]),
+            batch["intrinsics"].reshape(b * l, *batch["intrinsics"].shape[2:]),
+            batch["extrinsics"].reshape(b * l, *batch["extrinsics"].shape[2:]),
+            train,
+        )
+        bev = bev.reshape(b, l, *bev.shape[1:])[:, 0]
+        return BevSegHead(self.config.get("target", "dynamic"))(bev)
+
+
 class CameraDetector(nn.Module):
     """Single-agent camera detector (camera-only nofusion family)."""
     config: dict
@@ -148,6 +169,8 @@ def build_model(model_cfg: dict) -> nn.Module:
         return PointPillarDetector(args.get("lidar", args))
     if name in ("cross_view_transformer", "cvt_nofusion", "fax"):
         return CameraDetector(args)
+    if name in ("cvt_seg", "corpbevt_seg", "bev_seg"):
+        return CameraSegmentor(args)
     if name in _LIDAR_FUSIONS:
         return CooperativeDetector(args, "lidar", _LIDAR_FUSIONS[name])
     if name in _CAMERA_FUSIONS:
