@@ -170,23 +170,36 @@ def main(argv=None):
     eval_freq = params["train_params"].get("eval_freq", 2)
     save_freq = params["train_params"].get("save_freq", 1)
 
+    def make_batch(idxs):
+        frames = [dataset[int(i)] for i in idxs]
+        while len(frames) < batch_size:
+            frames.append(frames[-1])
+        batch = dataset.collate_batch(frames)
+        labels = labels_for_batch(pp, anchors, batch)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k != "object_ids"}
+        return shard_batch(batch, mesh), shard_batch(labels, mesh)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+
     order = np.arange(len(dataset))
     host_rng = np.random.default_rng(args.seed)
     with open(metrics_path, "a") as mf:
         for epoch in range(start_epoch, epoches):
             host_rng.shuffle(order)
             t_ep = time.time()
+
+            def idxs_for(step):
+                return order[(step * batch_size) % len(order):][:batch_size]
+
+            pending = prefetcher.submit(make_batch, idxs_for(0))
             for step in range(steps_per_epoch):
-                idxs = order[(step * batch_size) % len(order):][:batch_size]
-                frames = [dataset[int(i)] for i in idxs]
-                while len(frames) < batch_size:
-                    frames.append(frames[-1])
-                batch = dataset.collate_batch(frames)
-                labels = labels_for_batch(pp, anchors, batch)
-                batch = {k: jnp.asarray(v) for k, v in batch.items()
-                         if k != "object_ids"}
-                batch = shard_batch(batch, mesh)
-                labels = shard_batch(labels, mesh)
+                batch, labels = pending.result()
+                if step + 1 < steps_per_epoch:  # overlap host IO+labels
+                    pending = prefetcher.submit(make_batch,
+                                                idxs_for(step + 1))
                 state, metrics = train_step(state, batch, labels, rng)
                 if step % 10 == 0:
                     rec = {"epoch": epoch, "step": step,
