@@ -161,9 +161,22 @@ class HeteroCooperativeDataset:
         self.image_size = cam_args.get("resize_x", 512)
         self.order = params["postprocess"].get("order", "hwl")
 
+        # communication impairment simulator (reference:
+        # opencood/data_utils/datasets/basedataset.py:453-507): 'sim'
+        # mode uses a fixed frame overhead; 'real' derives the latency
+        # from payload size / link speed + backbone compute time,
+        # quantized to the 100 ms frame period.
         wild = params.get("wild_setting", {})
-        self.async_frames = int(wild.get("async_overhead", 0)) \
-            if wild.get("async", False) else 0
+        self.async_frames = 0
+        if wild.get("async", False):
+            if wild.get("async_mode", "sim") == "real":
+                data_size = float(wild.get("data_size", 1.06))  # MB
+                speed = float(wild.get("transmission_speed", 27.0))  # Mbps
+                backbone = float(wild.get("backbone_delay", 10.0))  # ms
+                delay_ms = data_size * 8 / speed * 1000 + backbone
+                self.async_frames = int(np.ceil(delay_ms / 100.0))
+            else:
+                self.async_frames = int(wild.get("async_overhead", 0))
         self.loc_err = wild.get("loc_err", False)
         self.xyz_std = float(wild.get("xyz_std", 0.2))
         self.ryp_std = float(wild.get("ryp_std", 0.2))
