@@ -186,10 +186,8 @@ class HeteroWindowAttention(nn.Module):
         vh = vw.reshape(b, l, l, nx, ny, t_tok, heads, d)
 
         # typed bilinear attention: q . W_att[type_i, type_j] . k
-        q_rel = jnp.einsum("bixythd,bijhde->bijxythe", qh, w_att,
-                           preferred_element_type=jnp.float32)
-        sim = jnp.einsum("bijxythe,bijxyshe->bijxyhts", q_rel, kh,
-                         preferred_element_type=jnp.float32)
+        q_rel = jnp.einsum("bixythd,bijhde->bijxythe", qh, w_att)
+        sim = jnp.einsum("bijxythe,bijxyshe->bijxyhts", q_rel, kh)
         # sim: (B, I, J, X, Y, heads, T_q, T_k)
 
         # relative position bias, shared across agent pairs
@@ -222,10 +220,8 @@ class HeteroWindowAttention(nn.Module):
         attn = jnp.moveaxis(attn, -2, 2)  # back to (B, I, J, X, Y, h, Tq, Tk)
 
         # message passing through W_msg, then aggregate
-        v_msg = jnp.einsum("bijhde,bijxyshe->bijxyshd", w_msg, vh,
-                           preferred_element_type=jnp.float32)
-        out = jnp.einsum("bijxyhts,bijxyshd->bixythd", attn, v_msg,
-                         preferred_element_type=jnp.float32)
+        v_msg = jnp.einsum("bijhde,bijxyshe->bijxyshd", w_msg, vh)
+        out = jnp.einsum("bijxyhts,bijxyshd->bixythd", attn, v_msg)
         out = out.reshape(b, l, nx, ny, t_tok, heads * d)
         out = _window_merge(out, win, self.style, h, w)
 
