@@ -46,8 +46,7 @@ class VoxelFeatureNet(nn.Module):
         grid = tuple(int(g) for g in self.grid_size)
         info = pillarize(points, points_mask, tuple(self.voxel_size),
                          tuple(self.pc_range), grid)
-        flat = points.reshape(-1, points.shape[-1])
-        feats = pillar_point_features(flat, info)
+        feats = pillar_point_features(info)
         feats = nn.Dense(self.num_filters, use_bias=False)(feats)
         feats = MaskedBatchNorm()(feats, info["keep"], train)
         feats = nn.relu(feats) * info["keep"][:, None]
@@ -118,7 +117,7 @@ class PIXORDetector(nn.Module):
         grid = cfg["grid_size"]  # (nx, ny, nz)
         info = pillarize(points, points_mask, tuple(cfg["voxel_size"]),
                          tuple(cfg["lidar_range"]), tuple(grid))
-        flat = points.reshape(-1, points.shape[-1])
+        flat = info["points"]
         occ_int = jnp.stack(
             [jnp.ones_like(flat[:, 3]), flat[:, 3]], axis=1)
         vox = scatter_max_to_bev(occ_int, info["pillar_id"], info["keep"],

@@ -51,9 +51,7 @@ class PillarFeatureNet(nn.Module):
         info = pillarize(points, points_mask, tuple(self.voxel_size),
                          tuple(self.pc_range), grid,
                          self.max_points_per_pillar)
-        flat_points = points.reshape(-1, points.shape[-1])
-        feats = pillar_point_features(flat_points, info,
-                                      self.use_absolute_xyz,
+        feats = pillar_point_features(info, self.use_absolute_xyz,
                                       self.with_distance)
         keep = info["keep"]
 
@@ -70,7 +68,8 @@ class PillarFeatureNet(nn.Module):
                 num_pillars = n_clouds * grid[0] * grid[1]
                 neg = jnp.where(keep[:, None], feats, -jnp.inf)
                 pmax = jax.ops.segment_max(neg, info["pillar_id"],
-                                           num_segments=num_pillars + 1)
+                                           num_segments=num_pillars + 1,
+                                           indices_are_sorted=True)
                 pmax = jnp.where(jnp.isfinite(pmax), pmax, 0.0)
                 feats = jnp.concatenate([feats, pmax[info["pillar_id"]]],
                                         axis=-1)

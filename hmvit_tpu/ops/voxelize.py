@@ -80,10 +80,16 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         num_pillars,
     )
 
-    # rank of each point within its pillar (original order preserved by a
-    # stable sort), used to enforce the per-pillar point cap
+    # Sort points by pillar id once (stable: preserves within-pillar input
+    # order for the cap).  Everything downstream stays in sorted order so
+    # every segment op and the final scatter get sorted-indices fast paths.
     order = jnp.argsort(pid, stable=True)
     sorted_pid = pid[order]
+    points_s = points[order]
+    xyz_s = points_s[:, :3]
+    gi_s = gi[order]
+    in_range_s = in_range[order]
+
     p = pid.shape[0]
     is_new = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_pid[1:] != sorted_pid[:-1]]
@@ -92,37 +98,42 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
     seg_start = jax.lax.associative_scan(jnp.maximum,
                                          jnp.where(is_new, idx, 0))
     rank_sorted = idx - seg_start
-    rank = jnp.zeros((p,), jnp.int32).at[order].set(rank_sorted)
 
-    keep = in_range & (rank < max_points_per_pillar)
+    keep = in_range_s & (rank_sorted < max_points_per_pillar)
     keep_f = keep.astype(jnp.float32)
 
     # per-pillar statistics over kept points only (cap semantics)
-    count = jax.ops.segment_sum(keep_f, pid, num_segments=num_pillars + 1)
-    sums = jax.ops.segment_sum(xyz * keep_f[:, None], pid,
-                               num_segments=num_pillars + 1)
+    count = jax.ops.segment_sum(keep_f, sorted_pid,
+                                num_segments=num_pillars + 1,
+                                indices_are_sorted=True)
+    sums = jax.ops.segment_sum(xyz_s * keep_f[:, None], sorted_pid,
+                               num_segments=num_pillars + 1,
+                               indices_are_sorted=True)
     mean_per_pillar = sums / jnp.maximum(count[:, None], 1.0)
-    mean_xyz = mean_per_pillar[pid]
+    mean_xyz = mean_per_pillar[sorted_pid]
 
-    centers = (gi.astype(jnp.float32) + 0.5) * voxel_size + pc_range[:3]
+    centers = (gi_s.astype(jnp.float32) + 0.5) * voxel_size + pc_range[:3]
     return {
-        "pillar_id": pid,
+        "points": points_s,
+        "pillar_id": sorted_pid,
         "keep": keep,
         "mean_xyz": mean_xyz,
-        "center_offset": xyz - centers,
+        "center_offset": xyz_s - centers,
         "count": count[:-1],
         "num_clouds": n_clouds,
+        "sort_order": order,
     }
 
 
-def pillar_point_features(points, pillar_info, use_absolute_xyz: bool = True,
+def pillar_point_features(pillar_info, use_absolute_xyz: bool = True,
                           with_distance: bool = False):
-    """Per-point 10-dim (or 7/11-dim) pillar features.
+    """Per-point 10-dim (or 7/11-dim) pillar features (pillar-sorted order).
 
     [xyz, intensity, xyz - cluster_mean, xyz - pillar_center(, |xyz|)],
     zeroed for dropped points — matching the PFN input layout (reference:
     opencood/models/sub_modules/pillar_vfe.py:105-143).
     """
+    points = pillar_info["points"]
     xyz = points[:, :3]
     f_cluster = xyz - pillar_info["mean_xyz"]
     f_center = pillar_info["center_offset"]
@@ -149,8 +160,11 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
     num_pillars = num_clouds * nx * ny * nz
     neg = jnp.where(keep[:, None], point_features,
                     jnp.full_like(point_features, -jnp.inf))
-    pid = jnp.where(keep, pillar_id, num_pillars)
-    dense = jax.ops.segment_max(neg, pid, num_segments=num_pillars + 1)
+    # dropped points already carry the overflow id; keep-masked ones keep
+    # their (sorted) id so the scatter stays sorted
+    dense = jax.ops.segment_max(neg, pillar_id,
+                                num_segments=num_pillars + 1,
+                                indices_are_sorted=True)
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
     if nz > 1:
         return dense[:-1].reshape(num_clouds, nz, ny, nx, -1)

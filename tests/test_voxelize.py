@@ -1,4 +1,4 @@
-"""Pillarization: assignment, cap semantics, stats, scatter."""
+"""Pillarization (sorted-order contract): assignment, cap, stats, scatter."""
 import numpy as np
 import jax.numpy as jnp
 
@@ -21,12 +21,22 @@ def pad_points(pts, p=256):
     return out, mask
 
 
+def find_rows(sorted_pts, originals):
+    """Indices of original points inside the sorted array."""
+    idxs = []
+    for o in originals:
+        d = np.abs(sorted_pts - o).sum(1)
+        idxs.append(int(d.argmin()))
+        assert d.min() < 1e-5
+    return idxs
+
+
 def test_pillar_assignment_and_count():
     pts = np.array(
         [
-            [0.1, 0.1, 0.0, 0.5],    # pillar (256+0, 256+0)
-            [0.3, 0.1, 0.0, 0.5],    # same pillar
-            [0.5, 0.1, 0.0, 0.5],    # next pillar in x
+            [0.1, 0.1, 0.0, 0.5],    # pillar (256, 256)
+            [0.3, 0.1, 0.0, 0.7],    # same pillar
+            [0.5, 0.1, 0.0, 0.9],    # next pillar in x
             [-200.0, 0.0, 0.0, 0.5],  # out of range
             [0.0, 0.0, 5.0, 0.5],    # z out of range
         ],
@@ -37,12 +47,16 @@ def test_pillar_assignment_and_count():
                      GRID)
     pid = np.asarray(info["pillar_id"])
     keep = np.asarray(info["keep"])
-    assert pid[0] == pid[1] != pid[2]
-    assert pid[0] == 256 * 512 + 256
-    assert not keep[3] and not keep[4]
-    assert keep[:3].all() and not keep[5:].any()
+    sorted_pts = np.asarray(info["points"])
+
+    assert keep.sum() == 3  # two out-of-range dropped, padding dropped
+    # the sorted ids are non-decreasing
+    assert np.all(np.diff(pid) >= 0)
+    i0, i1, i2 = find_rows(sorted_pts, pts[:3])
+    assert pid[i0] == pid[i1] != pid[i2]
+    assert pid[i0] == 256 * 512 + 256
     count = np.asarray(info["count"])
-    assert count[pid[0]] == 2 and count[pid[2]] == 1
+    assert count[pid[i0]] == 2 and count[pid[i2]] == 1
     assert count.sum() == 3
 
 
@@ -54,30 +68,36 @@ def test_per_pillar_cap_keeps_first_k():
     info = pillarize(jnp.asarray(points), jnp.asarray(mask), VOXEL, RANGE,
                      GRID, max_points_per_pillar=32)
     keep = np.asarray(info["keep"])
-    assert keep[:32].all() and not keep[32:40].any()
-    assert np.asarray(info["count"])[np.asarray(info["pillar_id"])[0]] == 32
+    kept_tags = np.asarray(info["points"])[keep][:, 3]
+    assert keep.sum() == 32
+    # stable sort keeps input order within the pillar -> tags 0..31
+    assert set(kept_tags.astype(int)) == set(range(32))
+    pid_of_pillar = np.asarray(info["pillar_id"])[keep][0]
+    assert np.asarray(info["count"])[pid_of_pillar] == 32
 
 
 def test_cluster_mean_and_center_offsets():
     pts = np.array(
-        [[0.1, 0.1, -1.0, 0.0], [0.3, 0.3, 0.0, 0.0]], np.float32
+        [[0.1, 0.1, -1.0, 0.25], [0.3, 0.3, 0.0, 0.75]], np.float32
     )
     points, mask = pad_points(pts)
     info = pillarize(jnp.asarray(points), jnp.asarray(mask), VOXEL, RANGE,
                      GRID)
-    mean = np.asarray(info["mean_xyz"])[:2]
-    np.testing.assert_allclose(mean, [[0.2, 0.2, -0.5]] * 2, atol=1e-6)
-    # pillar center of cell (256, 256) is (0.2, 0.2), z center -1.0
-    off = np.asarray(info["center_offset"])[:2]
-    np.testing.assert_allclose(off[0], [-0.1, -0.1, 0.0], atol=1e-5)
-    np.testing.assert_allclose(off[1], [0.1, 0.1, 1.0], atol=1e-5)
+    sorted_pts = np.asarray(info["points"])
+    i0, i1 = find_rows(sorted_pts, pts)
+    mean = np.asarray(info["mean_xyz"])
+    np.testing.assert_allclose(mean[[i0, i1]], [[0.2, 0.2, -0.5]] * 2,
+                               atol=1e-6)
+    off = np.asarray(info["center_offset"])
+    np.testing.assert_allclose(off[i0], [-0.1, -0.1, 0.0], atol=1e-5)
+    np.testing.assert_allclose(off[i1], [0.1, 0.1, 1.0], atol=1e-5)
 
-    feats = np.asarray(
-        pillar_point_features(jnp.asarray(points), info)
-    )
+    feats = np.asarray(pillar_point_features(info))
     assert feats.shape == (256, 10)
-    np.testing.assert_allclose(feats[0, 4:7], [-0.1, -0.1, -0.5], atol=1e-5)
-    np.testing.assert_allclose(feats[2:], 0.0)  # padding zeroed
+    np.testing.assert_allclose(feats[i0, 4:7], [-0.1, -0.1, -0.5],
+                               atol=1e-5)
+    drop = ~np.asarray(info["keep"])
+    np.testing.assert_allclose(feats[drop], 0.0)  # padding zeroed
 
 
 def test_scatter_max_places_features():
@@ -88,12 +108,11 @@ def test_scatter_max_places_features():
     points, mask = pad_points(pts)
     info = pillarize(jnp.asarray(points), jnp.asarray(mask), VOXEL, RANGE,
                      GRID)
-    feats = jnp.asarray(points)  # use raw points as "features" (C=4)
+    feats = info["points"]  # raw sorted points as "features" (C=4)
     bev = np.asarray(
         scatter_max_to_bev(feats, info["pillar_id"], info["keep"], GRID)
     )[0]
     assert bev.shape == (512, 512, 4)
-    # pillar of first two points: max intensity 3
     assert bev[256, 256, 3] == 3.0
     yi = int(np.floor((-5.0 + 102.4) / 0.4))
     xi = int(np.floor((10.0 + 102.4) / 0.4))
