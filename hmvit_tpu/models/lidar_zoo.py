@@ -57,6 +57,7 @@ class VoxelFeatureNet(nn.Module):
 class VoxelNetDetector(nn.Module):
     """VoxelNet: SVFE -> dense 3D conv middle layers -> BEV RPN."""
     config: dict
+    return_features: bool = False
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -73,6 +74,8 @@ class VoxelNetDetector(nn.Module):
         bev = x.transpose(0, 2, 3, 1, 4).reshape(n, ny, nx, nz * c)
         for ch, stride in ((128, 2), (128, 1), (256, 2)):
             bev = ConvBNReLU(ch, stride=stride)(bev, train)
+        if self.return_features:
+            return bev
         psm, rm = DetectionHead(cfg.get("anchor_number", 2))(bev)
         return {"psm": psm.transpose(0, 3, 1, 2),
                 "rm": rm.transpose(0, 3, 1, 2)}
@@ -82,6 +85,7 @@ class SecondDetector(nn.Module):
     """SECOND: mean-VFE -> dense 3D backbone (8x) -> height compression
     -> BEV head."""
     config: dict
+    return_features: bool = False
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -98,6 +102,8 @@ class SecondDetector(nn.Module):
         bev = x.transpose(0, 2, 3, 1, 4).reshape(n, ny, nx, nz * c)
         bev = ConvBNReLU(256)(bev, train)
         bev = ConvBNReLU(256)(bev, train)
+        if self.return_features:
+            return bev
         psm, rm = DetectionHead(cfg.get("anchor_number", 2))(bev)
         return {"psm": psm.transpose(0, 3, 1, 2),
                 "rm": rm.transpose(0, 3, 1, 2)}
@@ -110,6 +116,7 @@ class PIXORDetector(nn.Module):
     built with the same fused segment ops as the pillar path.
     """
     config: dict
+    return_features: bool = False
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -130,6 +137,8 @@ class PIXORDetector(nn.Module):
 
         for ch, stride in ((32, 1), (64, 2), (128, 2), (196, 1)):
             x = ConvBNReLU(ch, stride=stride)(x, train)
+        if self.return_features:
+            return x
         psm, rm = DetectionHead(cfg.get("anchor_number", 2))(x)
         return {"psm": psm.transpose(0, 3, 1, 2),
                 "rm": rm.transpose(0, 3, 1, 2)}

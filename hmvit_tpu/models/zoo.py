@@ -23,6 +23,19 @@ from .pillar_encoder import PointPillarEncoder
 from .point_pillar import PointPillarDetector
 
 
+class _SingleAgentLidar(nn.Module):
+    """Adapter: single-agent lidar family driven by the batch dict
+    (ego slot only)."""
+    detector_cls: type
+    lidar_cfg: dict
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False):
+        points = batch["points"][:, 0]
+        pmask = batch["points_mask"][:, 0]
+        return self.detector_cls(self.lidar_cfg)(points, pmask, train)
+
+
 class CameraSegmentor(nn.Module):
     """Camera-only BEV segmentation (dynamic/static map task, the
     opcamera family's second output head)."""
@@ -83,7 +96,21 @@ class CooperativeDetector(nn.Module):
             points = batch["points"].reshape(b * l,
                                              *batch["points"].shape[2:])
             pmask = batch["points_mask"].reshape(b * l, -1)
-            x = PointPillarEncoder(cfg["lidar"])(points, pmask, train)
+            kind = cfg.get("lidar_encoder", "point_pillar")
+            if kind == "point_pillar":
+                x = PointPillarEncoder(cfg["lidar"])(points, pmask, train)
+            else:
+                from .lidar_zoo import (
+                    PIXORDetector,
+                    SecondDetector,
+                    VoxelNetDetector,
+                )
+
+                enc_cls = {"voxel_net": VoxelNetDetector,
+                           "second": SecondDetector,
+                           "pixor": PIXORDetector}[kind]
+                x = enc_cls(cfg["lidar"], return_features=True)(
+                    points, pmask, train)
         else:
             cams = batch["camera"]
             x = make_camera_encoder(cfg["camera"])(
@@ -175,4 +202,19 @@ def build_model(model_cfg: dict) -> nn.Module:
         return CooperativeDetector(args, "lidar", _LIDAR_FUSIONS[name])
     if name in _CAMERA_FUSIONS:
         return CooperativeDetector(args, "camera", _CAMERA_FUSIONS[name])
+    if name in ("voxel_net", "second", "pixor"):
+        from .lidar_zoo import (
+            PIXORDetector,
+            SecondDetector,
+            VoxelNetDetector,
+        )
+
+        cls = {"voxel_net": VoxelNetDetector, "second": SecondDetector,
+               "pixor": PIXORDetector}[name]
+        return _SingleAgentLidar(cls, args.get("lidar", args))
+    if name in ("voxel_net_intermediate", "second_intermediate",
+                "pixor_intermediate"):
+        base = name.replace("_intermediate", "")
+        return CooperativeDetector(
+            dict(args, lidar_encoder=base), "lidar", "att")
     raise ValueError(f"unknown model core_method {name!r}")
