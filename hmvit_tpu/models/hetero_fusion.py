@@ -123,6 +123,9 @@ class HeteroWindowAttention(nn.Module):
     # MXU separable warp for K/V (ops/shear_warp.py): ~10x faster than the
     # gather warp on TPU; sub-pixel interpolation differences only
     use_mxu_warp: bool = True
+    # fused Pallas attention core on TPU (ops/window_attention.py);
+    # the XLA einsum path is the fallback/oracle
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
@@ -181,6 +184,39 @@ class HeteroWindowAttention(nn.Module):
         mw = _window_split(mask_ij[..., None], win, self.style)[..., 0]
 
         nx, ny, t_tok = qw.shape[2], qw.shape[3], win * win
+
+        if self.exclude_self:
+            eye = jnp.eye(l)[None, :, :, None, None]
+            mw = mw * (1.0 - eye)
+
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(0.02),
+            ((2 * win - 1) ** 2, heads),
+        )
+        idx = jnp.asarray(relative_position_index(win))
+        bias = table[idx]  # (T, T, heads)
+
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from ..ops.window_attention import fused_window_attention
+
+            out = fused_window_attention(
+                (qw * scale).reshape(b * l, nx * ny, t_tok, c),
+                kw.reshape(b * l, l, nx * ny, t_tok, c),
+                vw.reshape(b * l, l, nx * ny, t_tok, c),
+                w_att.reshape(b * l, l, heads, d, d),
+                w_msg.reshape(b * l, l, heads, d, d),
+                bias.transpose(2, 0, 1).astype(x.dtype),
+                mw.reshape(b * l, l, nx * ny, t_tok),
+                heads, d,
+            )
+            out = out.reshape(b, l, nx, ny, t_tok, c)
+            out = _window_merge(out, win, self.style, h, w)
+            out = HeteroDense(self.dim, self.num_types,
+                              name="to_out")(out, mode)
+            return nn.Dropout(self.dropout,
+                              deterministic=deterministic)(out)
+
         qh = qw.reshape(b, l, nx, ny, t_tok, heads, d) * scale
         kh = kw.reshape(b, l, l, nx, ny, t_tok, heads, d)
         vh = vw.reshape(b, l, l, nx, ny, t_tok, heads, d)
@@ -189,22 +225,7 @@ class HeteroWindowAttention(nn.Module):
         q_rel = jnp.einsum("bixythd,bijhde->bijxythe", qh, w_att)
         sim = jnp.einsum("bijxythe,bijxyshe->bijxyhts", q_rel, kh)
         # sim: (B, I, J, X, Y, heads, T_q, T_k)
-
-        # relative position bias, shared across agent pairs
-        table = self.param(
-            "rel_pos_bias",
-            nn.initializers.normal(0.02),
-            ((2 * win - 1) ** 2, heads),
-        )
-        idx = jnp.asarray(relative_position_index(win))
-        bias = table[idx]  # (T, T, heads)
         sim = sim + bias.transpose(2, 0, 1)[None, None, None, None, None]
-
-        if self.exclude_self:
-            eye = jnp.eye(l, dtype=bool)[None, :, :, None, None, None]
-            mask_js = mw & ~jnp.broadcast_to(eye, mw.shape) \
-                if mw.dtype == bool else mw * (1.0 - eye)
-            mw = mask_js
 
         # softmax over (J, T_k) jointly, masked
         neg = jnp.asarray(-1e9, sim.dtype)

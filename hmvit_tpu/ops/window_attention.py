@@ -1,0 +1,157 @@
+"""Fused heterogeneous window attention — Pallas TPU kernel.
+
+The H3GAT attention core computes, per BEV window, per head h and sender
+j:  sim = (q W_att[ij,h]) k_j^T + bias;  softmax over (j, tokens);
+out = sum_j attn_j (v_j W_msg[ij,h]^T).  Expressed in XLA einsums this
+materializes the (windows, heads, Tq, J*Tk) similarity/attention tensors
+in HBM (~2 GB per phase) and lowers to thousands of (64x32)@(32x64)
+batched matmuls at a few percent MXU utilization.
+
+This kernel fuses the whole per-window computation in VMEM: one grid
+program per (receiver, window) holds q (T, C), k/v (J, T, C), the typed
+relation matrices, bias and mask, and never writes an intermediate to
+HBM.  The XLA einsum path remains as a fallback and as the correctness
+oracle (tests compare both).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, watt_ref, wmsg_ref, bias_ref, mask_ref,
+            out_ref, *, heads: int, dim_head: int, n_senders: int):
+    t = q_ref.shape[-2]
+    d = dim_head
+    neg = jnp.asarray(-1e9, jnp.float32)
+
+    q_all = q_ref[0, 0].astype(jnp.float32)  # (T, C)
+    for h in range(heads):
+        q_h = q_all[:, h * d:(h + 1) * d]  # (T, d)
+        sim_parts = []
+        for j in range(n_senders):
+            w = watt_ref[0, j, h].astype(jnp.float32)  # (d, d)
+            qw = jnp.dot(q_h, w, preferred_element_type=jnp.float32)
+            k_h = k_ref[0, j, 0, :, h * d:(h + 1) * d].astype(jnp.float32)
+            s = jnp.dot(qw, k_h.T, preferred_element_type=jnp.float32)
+            s = s + bias_ref[h].astype(jnp.float32)
+            m = mask_ref[0, j, 0].astype(jnp.float32)  # (T,)
+            s = jnp.where(m[None, :] > 0, s, neg)
+            sim_parts.append(s)
+        sim = jnp.concatenate(sim_parts, axis=1)  # (T, J*T)
+
+        sim_max = jnp.max(sim, axis=1, keepdims=True)
+        exp = jnp.exp(sim - sim_max)
+        denom = jnp.sum(exp, axis=1, keepdims=True)
+        attn = exp / denom  # (T, J*T)
+
+        acc = jnp.zeros((t, d), jnp.float32)
+        for j in range(n_senders):
+            v_h = v_ref[0, j, 0, :, h * d:(h + 1) * d].astype(jnp.float32)
+            wm = wmsg_ref[0, j, h].astype(jnp.float32)
+            v_msg = jnp.dot(v_h, wm.T, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(attn[:, j * t:(j + 1) * t], v_msg,
+                                preferred_element_type=jnp.float32)
+        out_ref[0, 0, :, h * d:(h + 1) * d] = acc.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("heads", "dim_head", "interpret"))
+def hetero_window_attention(q, k, v, w_att, w_msg, bias, mask,
+                            heads: int, dim_head: int,
+                            interpret: bool = False):
+    """Fused typed window attention.
+
+    q: (N, W, T, C) — N = batch*receivers, W windows, T tokens/window;
+    k, v: (N, J, W, T, C); w_att, w_msg: (N, J, heads, d, d);
+    bias: (heads, T, T); mask: (N, J, W, T).
+    Returns (N, W, T, C).
+    """
+    n, w_cnt, t, c = q.shape
+    j = k.shape[1]
+
+    grid = (n, w_cnt)
+    kernel = partial(_kernel, heads=heads, dim_head=dim_head, n_senders=j)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, t, c), lambda i, wi: (i, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, 1, t, c), lambda i, wi: (i, 0, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, 1, t, c), lambda i, wi: (i, 0, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, heads, dim_head, dim_head),
+                         lambda i, wi: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, heads, dim_head, dim_head),
+                         lambda i, wi: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, t, t), lambda i, wi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, 1, t), lambda i, wi: (i, 0, wi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, c), lambda i, wi: (i, wi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, w_cnt, t, c), q.dtype),
+        interpret=interpret,
+    )(
+        q, k, v, w_att, w_msg, bias, mask,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_window_attention(q, k, v, w_att, w_msg, bias, mask,
+                           heads: int, dim_head: int):
+    """Pallas forward with an XLA-recompute backward (the kernel itself
+    is not reverse-differentiable; training recomputes through the
+    einsum oracle, inference pays only the fused kernel)."""
+    return hetero_window_attention(q, k, v, w_att, w_msg, bias, mask,
+                                   heads=heads, dim_head=dim_head)
+
+
+def _fwa_fwd(q, k, v, w_att, w_msg, bias, mask, heads, dim_head):
+    out = hetero_window_attention(q, k, v, w_att, w_msg, bias, mask,
+                                  heads=heads, dim_head=dim_head)
+    return out, (q, k, v, w_att, w_msg, bias, mask)
+
+
+def _fwa_bwd(heads, dim_head, residuals, g):
+    q, k, v, w_att, w_msg, bias, mask = residuals
+    _, vjp = jax.vjp(
+        lambda *a: hetero_window_attention_xla(*a, heads=heads,
+                                               dim_head=dim_head),
+        q, k, v, w_att, w_msg, bias, mask,
+    )
+    return vjp(g)
+
+
+fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
+
+
+def hetero_window_attention_xla(q, k, v, w_att, w_msg, bias, mask,
+                                heads: int, dim_head: int):
+    """Reference XLA einsum implementation (oracle + fallback)."""
+    n, w_cnt, t, c = q.shape
+    j = k.shape[1]
+    d = dim_head
+
+    qh = q.reshape(n, w_cnt, t, heads, d)
+    kh = k.reshape(n, j, w_cnt, t, heads, d)
+    vh = v.reshape(n, j, w_cnt, t, heads, d)
+
+    q_rel = jnp.einsum("nwthd,njhde->njwthe", qh, w_att)
+    sim = jnp.einsum("njwthe,njwshe->njwhts", q_rel, kh)
+    sim = sim + bias.transpose(0, 1, 2)[None, None, None]
+    sim = jnp.where(mask[:, :, :, None, None, :] > 0, sim, -1e9)
+    sim = jnp.moveaxis(sim, 1, -2)  # (n, w, h, t, j, s)
+    attn = jax.nn.softmax(sim.reshape(*sim.shape[:-2], j * t), axis=-1)
+    attn = jnp.moveaxis(attn.reshape(sim.shape), -2, 1)
+    v_msg = jnp.einsum("njhde,njwshe->njwshd", w_msg, vh)
+    out = jnp.einsum("njwhts,njwshd->nwthd", attn, v_msg)
+    return out.reshape(n, w_cnt, t, heads * d)
