@@ -24,66 +24,79 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, watt_ref, wmsg_ref, bias_ref, mask_ref,
-            out_ref, *, heads: int, dim_head: int, n_senders: int):
+            out_ref, *, heads: int, dim_head: int, n_senders: int,
+            w_block: int):
     t = q_ref.shape[-2]
     d = dim_head
     neg = jnp.asarray(-1e9, jnp.float32)
 
-    q_all = q_ref[0, 0].astype(jnp.float32)  # (T, C)
-    for h in range(heads):
-        q_h = q_all[:, h * d:(h + 1) * d]  # (T, d)
-        sim_parts = []
-        for j in range(n_senders):
-            w = watt_ref[0, j, h].astype(jnp.float32)  # (d, d)
-            qw = jnp.dot(q_h, w, preferred_element_type=jnp.float32)
-            k_h = k_ref[0, j, 0, :, h * d:(h + 1) * d].astype(jnp.float32)
-            s = jnp.dot(qw, k_h.T, preferred_element_type=jnp.float32)
-            s = s + bias_ref[h].astype(jnp.float32)
-            m = mask_ref[0, j, 0].astype(jnp.float32)  # (T,)
-            s = jnp.where(m[None, :] > 0, s, neg)
-            sim_parts.append(s)
-        sim = jnp.concatenate(sim_parts, axis=1)  # (T, J*T)
+    for wb in range(w_block):
+        q_all = q_ref[0, wb].astype(jnp.float32)  # (T, C)
+        for h in range(heads):
+            q_h = q_all[:, h * d:(h + 1) * d]  # (T, d)
+            sim_parts = []
+            for j in range(n_senders):
+                w = watt_ref[0, j, h].astype(jnp.float32)  # (d, d)
+                qw = jnp.dot(q_h, w, preferred_element_type=jnp.float32)
+                k_h = k_ref[0, j, wb, :, h * d:(h + 1) * d].astype(
+                    jnp.float32)
+                s = jnp.dot(qw, k_h.T, preferred_element_type=jnp.float32)
+                s = s + bias_ref[h].astype(jnp.float32)
+                m = mask_ref[0, wb, j].astype(jnp.float32)  # (T,)
+                s = jnp.where(m[None, :] > 0, s, neg)
+                sim_parts.append(s)
+            sim = jnp.concatenate(sim_parts, axis=1)  # (T, J*T)
 
-        sim_max = jnp.max(sim, axis=1, keepdims=True)
-        exp = jnp.exp(sim - sim_max)
-        denom = jnp.sum(exp, axis=1, keepdims=True)
-        attn = exp / denom  # (T, J*T)
+            sim_max = jnp.max(sim, axis=1, keepdims=True)
+            exp = jnp.exp(sim - sim_max)
+            denom = jnp.sum(exp, axis=1, keepdims=True)
+            attn = exp / denom  # (T, J*T)
 
-        acc = jnp.zeros((t, d), jnp.float32)
-        for j in range(n_senders):
-            v_h = v_ref[0, j, 0, :, h * d:(h + 1) * d].astype(jnp.float32)
-            wm = wmsg_ref[0, j, h].astype(jnp.float32)
-            v_msg = jnp.dot(v_h, wm.T, preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(attn[:, j * t:(j + 1) * t], v_msg,
+            acc = jnp.zeros((t, d), jnp.float32)
+            for j in range(n_senders):
+                v_h = v_ref[0, j, wb, :, h * d:(h + 1) * d].astype(
+                    jnp.float32)
+                wm = wmsg_ref[0, j, h].astype(jnp.float32)
+                v_msg = jnp.dot(v_h, wm.T,
                                 preferred_element_type=jnp.float32)
-        out_ref[0, 0, :, h * d:(h + 1) * d] = acc.astype(out_ref.dtype)
+                acc = acc + jnp.dot(attn[:, j * t:(j + 1) * t], v_msg,
+                                    preferred_element_type=jnp.float32)
+            out_ref[0, wb, :, h * d:(h + 1) * d] = acc.astype(
+                out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("heads", "dim_head", "interpret"))
+@partial(jax.jit,
+         static_argnames=("heads", "dim_head", "interpret", "w_block"))
 def hetero_window_attention(q, k, v, w_att, w_msg, bias, mask,
                             heads: int, dim_head: int,
-                            interpret: bool = False):
+                            interpret: bool = False, w_block: int = 4):
     """Fused typed window attention.
 
     q: (N, W, T, C) — N = batch*receivers, W windows, T tokens/window;
     k, v: (N, J, W, T, C); w_att, w_msg: (N, J, heads, d, d);
     bias: (heads, T, T); mask: (N, J, W, T).
     Returns (N, W, T, C).
+
+    w_block windows are processed per grid program to amortize program
+    launch overhead (VMEM per program ~ 2 * w_block * J * T * C * 4B).
     """
     n, w_cnt, t, c = q.shape
     j = k.shape[1]
-
-    grid = (n, w_cnt)
-    kernel = partial(_kernel, heads=heads, dim_head=dim_head, n_senders=j)
+    while w_cnt % w_block:
+        w_block //= 2
+    grid = (n, w_cnt // w_block)
+    kernel = partial(_kernel, heads=heads, dim_head=dim_head, n_senders=j,
+                     w_block=w_block)
+    wb = w_block
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, t, c), lambda i, wi: (i, wi, 0, 0),
+            pl.BlockSpec((1, wb, t, c), lambda i, wi: (i, wi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, 1, t, c), lambda i, wi: (i, 0, wi, 0, 0),
+            pl.BlockSpec((1, j, wb, t, c), lambda i, wi: (i, 0, wi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, 1, t, c), lambda i, wi: (i, 0, wi, 0, 0),
+            pl.BlockSpec((1, j, wb, t, c), lambda i, wi: (i, 0, wi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, j, heads, dim_head, dim_head),
                          lambda i, wi: (i, 0, 0, 0, 0),
@@ -93,15 +106,17 @@ def hetero_window_attention(q, k, v, w_att, w_msg, bias, mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, t, t), lambda i, wi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, 1, t), lambda i, wi: (i, 0, wi, 0),
+            # mask transposed to (N, W, J, T) so the block's trailing two
+            # dims (J, T) cover full axes (TPU lowering constraint)
+            pl.BlockSpec((1, wb, j, t), lambda i, wi: (i, wi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, c), lambda i, wi: (i, wi, 0, 0),
+        out_specs=pl.BlockSpec((1, wb, t, c), lambda i, wi: (i, wi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, w_cnt, t, c), q.dtype),
         interpret=interpret,
     )(
-        q, k, v, w_att, w_msg, bias, mask,
+        q, k, v, w_att, w_msg, bias, jnp.swapaxes(mask, 1, 2),
     )
 
 
