@@ -122,12 +122,22 @@ class DownsampleConv(nn.Module):
 
 
 class DetectionHead(nn.Module):
-    """1x1 conv anchor heads -> (psm, rm)."""
+    """1x1 conv anchor heads -> (psm, rm).
+
+    The classification bias starts at the focal-loss prior
+    (-log((1-p)/p), p=0.01) so early training isn't dominated by the
+    sea of negatives."""
     anchor_number: int
+    prior_prob: float = 0.01
 
     @nn.compact
     def __call__(self, x):
-        psm = nn.Conv(self.anchor_number, (1, 1))(x)
+        import math
+
+        bias_init = nn.initializers.constant(
+            -math.log((1.0 - self.prior_prob) / self.prior_prob))
+        psm = nn.Conv(self.anchor_number, (1, 1),
+                      bias_init=bias_init)(x)
         rm = nn.Conv(7 * self.anchor_number, (1, 1))(x)
         return psm, rm
 
