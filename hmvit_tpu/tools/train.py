@@ -150,7 +150,21 @@ def main(argv=None):
 
     from ..train.losses import build_loss
 
-    loss_fn, loss_kwargs = build_loss(params.get("loss", {}))
+    seg_task = params.get("loss", {}).get("core_method", "") in (
+        "vanilla_seg_loss", "seg_loss")
+    if seg_task:
+        from ..models.seg_head import seg_loss as _seg_loss
+
+        def loss_fn(output, labels, **kw):
+            return _seg_loss(output, labels, **kw)
+
+        largs = params["loss"].get("args", {})
+        loss_kwargs = {
+            "d_weights": float(largs.get("d_weights", 75.0)),
+            "s_weights": float(largs.get("s_weights", 15.0)),
+        }
+    else:
+        loss_fn, loss_kwargs = build_loss(params.get("loss", {}))
     mesh = make_mesh()
     state = replicate_state(state, mesh)
     train_step = make_train_step(model, tx, loss_fn=loss_fn,
@@ -170,12 +184,32 @@ def main(argv=None):
     eval_freq = params["train_params"].get("eval_freq", 2)
     save_freq = params["train_params"].get("save_freq", 1)
 
+    seg_grid = None
+    if seg_task:
+        hd = model.apply(
+            {"params": state.params,
+             "batch_stats": state.batch_stats},
+            example, train=False)["dynamic_seg"].shape[1:3]
+        seg_grid = (int(hd[0]), int(hd[1]))
+
+    def make_labels(batch):
+        if seg_task:
+            masks = np.stack([
+                dataset.seg_labels(
+                    {"object_bbx_center": batch["object_bbx_center"][i],
+                     "object_bbx_mask": batch["object_bbx_mask"][i]},
+                    seg_grid)
+                for i in range(batch["object_bbx_center"].shape[0])
+            ])
+            return {"dynamic_seg": jnp.asarray(masks, jnp.int32)}
+        return labels_for_batch(pp, anchors, batch)
+
     def make_batch(idxs):
         frames = [dataset[int(i)] for i in idxs]
         while len(frames) < batch_size:
             frames.append(frames[-1])
         batch = dataset.collate_batch(frames)
-        labels = labels_for_batch(pp, anchors, batch)
+        labels = make_labels(batch)
         batch = {k: jnp.asarray(v) for k, v in batch.items()
                  if k != "object_ids"}
         return shard_batch(batch, mesh), shard_batch(labels, mesh)
@@ -209,22 +243,21 @@ def main(argv=None):
                     mf.flush()
                     if tb is not None:
                         gs = epoch * steps_per_epoch + step
-                        tb.add_scalar("Regression_loss",
-                                      rec["reg_loss"], gs)
-                        tb.add_scalar("Confidence_loss",
-                                      rec["conf_loss"], gs)
-                        tb.add_scalar("lr", rec["lr"], gs)
+                        for key, val in rec.items():
+                            if key not in ("epoch", "step"):
+                                tb.add_scalar(key, val, gs)
+                    extras = " ".join(
+                        f"{k}={v:.4f}" for k, v in rec.items()
+                        if k not in ("epoch", "step", "lr", "total_loss"))
                     print(f"[epoch {epoch}][{step}/{steps_per_epoch}] "
-                          f"loss={rec['total_loss']:.4f} "
-                          f"conf={rec['conf_loss']:.4f} "
-                          f"reg={rec['reg_loss']:.4f}")
+                          f"loss={rec['total_loss']:.4f} {extras}")
 
             if epoch % eval_freq == 0:
                 val_losses = []
                 for vi in range(min(len(val_dataset), 4)):
                     frames = [val_dataset[vi]] * batch_size
                     vb = val_dataset.collate_batch(frames)
-                    vl = labels_for_batch(pp, anchors, vb)
+                    vl = make_labels(vb)
                     vb = {k: jnp.asarray(v) for k, v in vb.items()
                           if k != "object_ids"}
                     m = eval_step(state, shard_batch(vb, mesh),
