@@ -42,6 +42,9 @@ class PillarFeatureNet(nn.Module):
     max_points_per_pillar: int = 32
     use_absolute_xyz: bool = True
     with_distance: bool = False
+    # spconv-parity per-pillar point cap requires a global sort; without
+    # it every in-range point participates (quality superset, no sort)
+    enforce_cap: bool = True
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -50,7 +53,8 @@ class PillarFeatureNet(nn.Module):
         n_clouds = points.shape[0]
         info = pillarize(points, points_mask, tuple(self.voxel_size),
                          tuple(self.pc_range), grid,
-                         self.max_points_per_pillar)
+                         self.max_points_per_pillar,
+                         enforce_cap=self.enforce_cap)
         feats = pillar_point_features(info, self.use_absolute_xyz,
                                       self.with_distance)
         keep = info["keep"]
@@ -67,15 +71,16 @@ class PillarFeatureNet(nn.Module):
                 # concat per-pillar max back onto each point
                 num_pillars = n_clouds * grid[0] * grid[1]
                 neg = jnp.where(keep[:, None], feats, -jnp.inf)
-                pmax = jax.ops.segment_max(neg, info["pillar_id"],
-                                           num_segments=num_pillars + 1,
-                                           indices_are_sorted=True)
+                pmax = jax.ops.segment_max(
+                    neg, info["pillar_id"],
+                    num_segments=num_pillars + 1,
+                    indices_are_sorted=self.enforce_cap)
                 pmax = jnp.where(jnp.isfinite(pmax), pmax, 0.0)
                 feats = jnp.concatenate([feats, pmax[info["pillar_id"]]],
                                         axis=-1)
 
         return scatter_max_to_bev(feats, info["pillar_id"], keep, grid,
-                                  n_clouds)
+                                  n_clouds, sorted_ids=self.enforce_cap)
 
 
 class BEVBackbone(nn.Module):
@@ -122,6 +127,7 @@ class PointPillarEncoder(nn.Module):
             grid_size=cfg["point_pillar_scatter"]["grid_size"][:2],
             use_absolute_xyz=cfg["pillar_vfe"].get("use_absolute_xyz", True),
             with_distance=cfg["pillar_vfe"].get("with_distance", False),
+            enforce_cap=cfg["pillar_vfe"].get("enforce_point_cap", True),
         )(points, points_mask, train)
 
         bb = cfg["base_bev_backbone"]

@@ -29,9 +29,10 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("grid_size", "max_points_per_pillar"))
+@partial(jax.jit, static_argnames=("grid_size", "max_points_per_pillar",
+                                   "enforce_cap"))
 def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
-              max_points_per_pillar: int = 32):
+              max_points_per_pillar: int = 32, enforce_cap: bool = True):
     """Assign points to pillars and compute pillar statistics.
 
     Parameters
@@ -80,38 +81,51 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         num_pillars,
     )
 
-    # Sort points by pillar id once (stable: preserves within-pillar input
-    # order for the cap).  Everything downstream stays in sorted order so
-    # every segment op and the final scatter get sorted-indices fast paths.
-    order = jnp.argsort(pid, stable=True)
-    sorted_pid = pid[order]
-    points_s = points[order]
-    xyz_s = points_s[:, :3]
-    gi_s = gi[order]
-    in_range_s = in_range[order]
+    if enforce_cap:
+        # Sort points by pillar id once (stable: preserves within-pillar
+        # input order for the spconv-parity cap).  Everything downstream
+        # stays sorted so segment ops and the scatter get sorted-indices
+        # fast paths.
+        order = jnp.argsort(pid, stable=True)
+        sorted_pid = pid[order]
+        points_s = points[order]
+        gi_s = gi[order]
+        in_range_s = in_range[order]
 
-    p = pid.shape[0]
-    is_new = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_pid[1:] != sorted_pid[:-1]]
-    )
-    idx = jnp.arange(p)
-    seg_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(is_new, idx, 0))
-    rank_sorted = idx - seg_start
+        p = pid.shape[0]
+        is_new = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_pid[1:] != sorted_pid[:-1]]
+        )
+        idx = jnp.arange(p)
+        seg_start = jax.lax.associative_scan(jnp.maximum,
+                                             jnp.where(is_new, idx, 0))
+        rank_sorted = idx - seg_start
+        keep = in_range_s & (rank_sorted < max_points_per_pillar)
+        sorted_hint = True
+    else:
+        # cap-free fast path: no global sort; every in-range point
+        # participates (a quality superset of the spconv behavior)
+        sorted_pid = pid
+        points_s = points
+        gi_s = gi
+        keep = in_range
+        order = None
+        sorted_hint = False
 
-    keep = in_range_s & (rank_sorted < max_points_per_pillar)
     keep_f = keep.astype(jnp.float32)
+    xyz_s = points_s[:, :3]
 
-    # per-pillar statistics over kept points only (cap semantics)
+    # per-pillar statistics over kept points only
     count = jax.ops.segment_sum(keep_f, sorted_pid,
                                 num_segments=num_pillars + 1,
-                                indices_are_sorted=True)
+                                indices_are_sorted=sorted_hint)
     sums = jax.ops.segment_sum(xyz_s * keep_f[:, None], sorted_pid,
                                num_segments=num_pillars + 1,
-                               indices_are_sorted=True)
+                               indices_are_sorted=sorted_hint)
     mean_per_pillar = sums / jnp.maximum(count[:, None], 1.0)
     mean_xyz = mean_per_pillar[sorted_pid]
 
+    del order
     centers = (gi_s.astype(jnp.float32) + 0.5) * voxel_size + pc_range[:3]
     return {
         "points": points_s,
@@ -121,7 +135,6 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         "center_offset": xyz_s - centers,
         "count": count[:-1],
         "num_clouds": n_clouds,
-        "sort_order": order,
     }
 
 
@@ -146,7 +159,7 @@ def pillar_point_features(pillar_info, use_absolute_xyz: bool = True,
 
 
 def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
-                       num_clouds: int = 1):
+                       num_clouds: int = 1, sorted_ids: bool = True):
     """Max-pool per-point features into the dense BEV grid.
 
     point_features: (P, C) flat over all clouds; returns
@@ -161,10 +174,10 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
     neg = jnp.where(keep[:, None], point_features,
                     jnp.full_like(point_features, -jnp.inf))
     # dropped points already carry the overflow id; keep-masked ones keep
-    # their (sorted) id so the scatter stays sorted
+    # their id so a sorted input stays sorted
     dense = jax.ops.segment_max(neg, pillar_id,
                                 num_segments=num_pillars + 1,
-                                indices_are_sorted=True)
+                                indices_are_sorted=sorted_ids)
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
     if nz > 1:
         return dense[:-1].reshape(num_clouds, nz, ny, nx, -1)
