@@ -25,7 +25,9 @@ from flax import linen as nn
 from ..ops.voxelize import (
     pillar_point_features,
     pillarize,
+    scan_steps,
     scatter_max_to_bev,
+    segmented_run_totals,
 )
 from .layers import ConvBNReLU, DownsampleConv, MaskedBatchNorm
 
@@ -69,18 +71,33 @@ class PillarFeatureNet(nn.Module):
             feats = feats * keep[:, None].astype(feats.dtype)
             if not last:
                 # concat per-pillar max back onto each point
-                num_pillars = n_clouds * grid[0] * grid[1]
-                neg = jnp.where(keep[:, None], feats, -jnp.inf)
-                pmax = jax.ops.segment_max(
-                    neg, info["pillar_id"],
-                    num_segments=num_pillars + 1,
-                    indices_are_sorted=self.enforce_cap)
-                pmax = jnp.where(jnp.isfinite(pmax), pmax, 0.0)
-                feats = jnp.concatenate([feats, pmax[info["pillar_id"]]],
-                                        axis=-1)
+                if self.enforce_cap:
+                    # sorted runs: per-point propagation, no scatter
+                    steps = scan_steps(self.max_points_per_pillar,
+                                       feats.shape[0])
+                    pid2 = jnp.where(keep, info["pillar_id"], -1)
+                    neg = jnp.where(keep[:, None], feats, -jnp.inf)
+                    pmax = segmented_run_totals(
+                        neg, pid2, steps, jnp.maximum,
+                        jnp.asarray(-jnp.inf, feats.dtype))
+                    pmax = jnp.where(jnp.isfinite(pmax), pmax, 0.0)
+                    pmax = pmax * keep[:, None].astype(pmax.dtype)
+                else:
+                    num_pillars = n_clouds * grid[0] * grid[1]
+                    neg = jnp.where(keep[:, None], feats, -jnp.inf)
+                    pm = jax.ops.segment_max(
+                        neg, info["pillar_id"],
+                        num_segments=num_pillars + 1,
+                        indices_are_sorted=False)
+                    pm = jnp.where(jnp.isfinite(pm), pm, 0.0)
+                    pmax = pm[info["pillar_id"]]
+                feats = jnp.concatenate([feats, pmax], axis=-1)
 
-        return scatter_max_to_bev(feats, info["pillar_id"], keep, grid,
-                                  n_clouds, sorted_ids=self.enforce_cap)
+        return scatter_max_to_bev(
+            feats, info["pillar_id"], keep, grid, n_clouds,
+            sorted_ids=self.enforce_cap, last_kept=info["last_kept"],
+            max_run=self.max_points_per_pillar if self.enforce_cap
+            else None)
 
 
 class BEVBackbone(nn.Module):

@@ -11,11 +11,15 @@ chain is one jitted segment-op program:
   1. per-point pillar id (or an overflow slot for out-of-range/pad points);
   2. rank-within-pillar via one sort, to honor the max-points-per-pillar
      cap with the same keep-first-K-in-order semantics as spconv;
-  3. per-pillar sums/counts by ``segment_sum`` for the cluster-mean
+  3. per-pillar sums/counts via log-shift segmented scans over the sorted
+     point array (pure VPU shifts — no scatter) for the cluster-mean
      features;
-  4. after the PFN point MLP, ``segment_max`` scatters directly into the
-     dense (ny*nx, C) BEV grid — voxelizer + VFE + scatter fused, nothing
-     ragged ever exists.
+  4. after the PFN point MLP, the dense (ny*nx, C) BEV grid is produced
+     by a segmented max-scan + one scalar ``segment_max`` of point
+     indices + a row-contiguous gather — the wide multi-channel scatter
+     into the million-cell grid (XLA's slowest path on TPU) never
+     happens.  Voxelizer + VFE + scatter fused, nothing ragged ever
+     exists.
 
 Deviation from spconv (documented): no max_voxels cap — the dense grid
 holds every non-empty pillar, so points the reference would drop once its
@@ -23,10 +27,53 @@ holds every non-empty pillar, so points the reference would drop once its
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _shifted(x, s: int, fill):
+    """x shifted DOWN by s (x[i] -> x[i-s]), front-filled with ``fill``."""
+    pad = jnp.full((s, *x.shape[1:]), fill, x.dtype)
+    return jnp.concatenate([pad, x[:-s]], axis=0)
+
+
+def segmented_scan(vals, seg_id, steps: int, op, identity):
+    """Inclusive Hillis–Steele scan of ``op`` within consecutive runs of
+    equal ``seg_id`` (the TPU-friendly replacement for a segment op on
+    sorted ids: ``steps`` log-shift passes of pure VPU compare/selects).
+
+    vals: (P, C); seg_id: (P,) — after the scan the LAST element of each
+    run holds the run's reduction.  ``steps`` must satisfy
+    2**steps >= max run length."""
+    fill = jnp.asarray(-1, seg_id.dtype)
+    for k in range(steps):
+        s = 1 << k
+        same = (seg_id == _shifted(seg_id, s, fill))[:, None]
+        prev = _shifted(vals, s, identity)
+        vals = jnp.where(same, op(vals, prev), vals)
+    return vals
+
+
+def segmented_run_totals(vals, seg_id, steps: int, op, identity):
+    """Every element receives its full run's ``op``-reduction: inclusive
+    forward scan combined with an exclusive backward scan."""
+    fwd = segmented_scan(vals, seg_id, steps, op, identity)
+    bwd_inc = segmented_scan(vals[::-1], seg_id[::-1], steps, op,
+                             identity)[::-1]
+    # exclusive backward = inclusive backward of the NEXT element (when
+    # the next element is still in the same run)
+    same_next = jnp.concatenate(
+        [seg_id[1:] == seg_id[:-1], jnp.zeros((1,), bool)])[:, None]
+    nxt = jnp.concatenate([bwd_inc[1:], bwd_inc[:1]])
+    bwd_exc = jnp.where(same_next, nxt, jnp.asarray(identity, vals.dtype))
+    return op(fwd, bwd_exc)
+
+
+def scan_steps(max_run: int | None, p: int) -> int:
+    return max(1, math.ceil(math.log2(max(2, min(max_run or p, p)))))
 
 
 @partial(jax.jit, static_argnames=("grid_size", "max_points_per_pillar",
@@ -114,16 +161,39 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
 
     keep_f = keep.astype(jnp.float32)
     xyz_s = points_s[:, :3]
+    p = sorted_pid.shape[0]
 
-    # per-pillar statistics over kept points only
-    count = jax.ops.segment_sum(keep_f, sorted_pid,
-                                num_segments=num_pillars + 1,
-                                indices_are_sorted=sorted_hint)
-    sums = jax.ops.segment_sum(xyz_s * keep_f[:, None], sorted_pid,
-                               num_segments=num_pillars + 1,
-                               indices_are_sorted=sorted_hint)
-    mean_per_pillar = sums / jnp.maximum(count[:, None], 1.0)
-    mean_xyz = mean_per_pillar[sorted_pid]
+    if sorted_hint:
+        # Per-pillar statistics WITHOUT scattering into the dense grid:
+        # kept points of a pillar are consecutive (sorted + cap keeps the
+        # first K), so log-shift segmented scans over the point array
+        # compute per-point cluster sums/counts on the VPU.  The only
+        # dense-grid op is one scalar segment_max of point indices, which
+        # downstream inverts into a gather (see scatter_max_to_bev).
+        steps = scan_steps(max_points_per_pillar if enforce_cap else None,
+                           p)
+        pid2 = jnp.where(keep, sorted_pid, -1)
+        vals = jnp.concatenate([xyz_s * keep_f[:, None], keep_f[:, None]],
+                               axis=1)
+        tot = segmented_run_totals(vals, pid2, steps, jnp.add, 0.0)
+        count_pt = tot[:, 3]
+        mean_xyz = tot[:, :3] / jnp.maximum(count_pt[:, None], 1.0)
+        iota = jnp.arange(1, p + 1, dtype=jnp.int32)
+        last_kept = jax.ops.segment_max(
+            jnp.where(keep, iota, 0), sorted_pid,
+            num_segments=num_pillars + 1,
+            indices_are_sorted=True)[:-1]
+    else:
+        count = jax.ops.segment_sum(keep_f, sorted_pid,
+                                    num_segments=num_pillars + 1,
+                                    indices_are_sorted=False)
+        sums = jax.ops.segment_sum(xyz_s * keep_f[:, None], sorted_pid,
+                                   num_segments=num_pillars + 1,
+                                   indices_are_sorted=False)
+        mean_per_pillar = sums / jnp.maximum(count[:, None], 1.0)
+        mean_xyz = mean_per_pillar[sorted_pid]
+        count_pt = count[sorted_pid]
+        last_kept = None
 
     del order
     centers = (gi_s.astype(jnp.float32) + 0.5) * voxel_size + pc_range[:3]
@@ -133,7 +203,8 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         "keep": keep,
         "mean_xyz": mean_xyz,
         "center_offset": xyz_s - centers,
-        "count": count[:-1],
+        "count_per_point": count_pt,
+        "last_kept": last_kept,
         "num_clouds": n_clouds,
     }
 
@@ -159,7 +230,8 @@ def pillar_point_features(pillar_info, use_absolute_xyz: bool = True,
 
 
 def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
-                       num_clouds: int = 1, sorted_ids: bool = True):
+                       num_clouds: int = 1, sorted_ids: bool = True,
+                       last_kept=None, max_run: int | None = None):
     """Max-pool per-point features into the dense BEV grid.
 
     point_features: (P, C) flat over all clouds; returns
@@ -167,18 +239,42 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
     grid.  Empty cells are 0 (identical to the reference's
     zero-initialized scatter since the PFN output is post-ReLU, i.e.
     non-negative).
+
+    With sorted ids the wide scatter never happens: a segmented max-scan
+    leaves each pillar's reduction at its last kept point, one scalar
+    ``segment_max`` of point indices (``last_kept``, reusable from
+    ``pillarize``) locates those points, and the dense grid is a
+    row-contiguous gather — the access pattern the TPU memory system is
+    fast at, unlike XLA's serialized multi-channel scatter.
     """
     nx, ny = grid_size[0], grid_size[1]
     nz = grid_size[2] if len(grid_size) > 2 else 1
     num_pillars = num_clouds * nx * ny * nz
-    neg = jnp.where(keep[:, None], point_features,
-                    jnp.full_like(point_features, -jnp.inf))
-    # dropped points already carry the overflow id; keep-masked ones keep
-    # their id so a sorted input stays sorted
-    dense = jax.ops.segment_max(neg, pillar_id,
-                                num_segments=num_pillars + 1,
-                                indices_are_sorted=sorted_ids)
-    dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
+    p = point_features.shape[0]
+
+    if not sorted_ids:
+        neg = jnp.where(keep[:, None], point_features,
+                        jnp.full_like(point_features, -jnp.inf))
+        dense = jax.ops.segment_max(neg, pillar_id,
+                                    num_segments=num_pillars + 1,
+                                    indices_are_sorted=False)
+        dense = jnp.where(jnp.isfinite(dense), dense, 0.0)[:-1]
+    else:
+        steps = scan_steps(max_run, p)
+        pid2 = jnp.where(keep, pillar_id, -1)
+        scanned = segmented_scan(point_features, pid2, steps, jnp.maximum,
+                                 jnp.asarray(-jnp.inf,
+                                             point_features.dtype))
+        if last_kept is None:
+            iota = jnp.arange(1, p + 1, dtype=jnp.int32)
+            last_kept = jax.ops.segment_max(
+                jnp.where(keep, iota, 0), pillar_id,
+                num_segments=num_pillars + 1,
+                indices_are_sorted=True)[:-1]
+        feat = jnp.take(scanned, jnp.maximum(last_kept - 1, 0), axis=0)
+        dense = jnp.where((last_kept > 0)[:, None], feat,
+                          jnp.zeros((), point_features.dtype))
+
     if nz > 1:
-        return dense[:-1].reshape(num_clouds, nz, ny, nx, -1)
-    return dense[:-1].reshape(num_clouds, ny, nx, -1)
+        return dense.reshape(num_clouds, nz, ny, nx, -1)
+    return dense.reshape(num_clouds, ny, nx, -1)

@@ -1,0 +1,190 @@
+"""Stage-level TPU timing harness for the HM-ViT hot path.
+
+Times individual production-scale stages (warp, window attention, fold,
+lidar encoder, full phase) inside single jits with host-transfer syncs
+(through the axon tunnel, block_until_ready returns early — a scalar
+host read is the only reliable fence).  Used to drive kernel work;
+bench.py remains the official end-to-end number.
+
+Usage: python perf_lab.py [stage ...]   (default: all)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "")
+
+import jax
+import jax.numpy as jnp
+
+cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+B, L, H, W, C = 1, 5, 128, 128, 256
+HEADS, D, WIN = 8, 32, 8
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def rand_pairwise(key, b=B, l=L):
+    """Random rigid pairwise transforms (B, L, L, 4, 4)."""
+    ks = jax.random.split(key, 2)
+    ang = jax.random.uniform(ks[0], (b, l), minval=-np.pi, maxval=np.pi)
+    pos = jax.random.uniform(ks[1], (b, l, 2), minval=-20.0, maxval=20.0)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    m = jnp.zeros((b, l, 4, 4)).at[:, :, 2, 2].set(1.0).at[:, :, 3, 3].set(1.0)
+    m = m.at[:, :, 0, 0].set(c).at[:, :, 0, 1].set(-s)
+    m = m.at[:, :, 1, 0].set(s).at[:, :, 1, 1].set(c)
+    m = m.at[:, :, :2, 3].set(pos)
+    # pairwise[b, j, i] = inv(M_i) @ M_j  (j -> i)
+    minv = jnp.linalg.inv(m)
+    return jnp.einsum("bixy,bjyz->bjixz", minv, m)
+
+
+def stage_warp(dtype=jnp.float32):
+    """MXU separable warp of the (B*L, L, H, W, 2C) pair tensor."""
+    from hmvit_tpu.ops.shear_warp import warp_bev_mxu
+
+    key = jax.random.key(0)
+    kv = jax.random.normal(key, (B, L, H, W, 2 * C), dtype)
+    pair = rand_pairwise(key)
+
+    @jax.jit
+    def run(kv, pair):
+        t_ij = jnp.swapaxes(pair, 1, 2)
+        kv_rep = jnp.broadcast_to(kv[:, None], (B, L, L, H, W, 2 * C))
+        return warp_bev_mxu(kv_rep.reshape(B * L, L, H, W, 2 * C),
+                            t_ij.reshape(B * L, L, 4, 4), 0.4, 4.0)
+
+    ms = timeit(run, kv, pair)
+    print(f"warp_mxu pairwise 2C {np.dtype(dtype).name}: {ms:.2f} ms")
+
+
+def stage_attn_typed(dtype=jnp.float32):
+    """Current typed Pallas kernel at production window counts."""
+    from hmvit_tpu.ops.window_attention import hetero_window_attention
+
+    t = WIN * WIN
+    wn = (H // WIN) * (W // WIN)
+    n = B * L
+    key = jax.random.key(1)
+    ks = jax.random.split(key, 8)
+    q = jax.random.normal(ks[0], (n, wn, t, C), dtype)
+    k = jax.random.normal(ks[1], (n, L, wn, t, C), dtype)
+    v = jax.random.normal(ks[2], (n, L, wn, t, C), dtype)
+    wa = jax.random.normal(ks[3], (n, L, HEADS, D, D), dtype) * 0.1
+    wm = jax.random.normal(ks[4], (n, L, HEADS, D, D), dtype) * 0.1
+    bias = jax.random.normal(ks[5], (HEADS, t, t), dtype)
+    mask = (jax.random.uniform(ks[6], (n, L, wn, t)) > 0.1).astype(dtype)
+
+    @jax.jit
+    def run(*a):
+        return hetero_window_attention(*a, heads=HEADS, dim_head=D)
+
+    ms = timeit(run, q, k, v, wa, wm, bias, mask)
+    print(f"attn_typed pallas {np.dtype(dtype).name}: {ms:.2f} ms")
+
+
+def stage_attn_untyped(dtype=jnp.float32):
+    """New untyped Pallas kernel (post-fold)."""
+    from hmvit_tpu.ops.window_attention import window_attention
+
+    t = WIN * WIN
+    wn = (H // WIN) * (W // WIN)
+    n = B * L
+    key = jax.random.key(1)
+    ks = jax.random.split(key, 8)
+    q = jax.random.normal(ks[0], (n, wn, t, C), dtype)
+    k = jax.random.normal(ks[1], (n, L, wn, t, C), dtype)
+    v = jax.random.normal(ks[2], (n, L, wn, t, C), dtype)
+    bias = jax.random.normal(ks[5], (HEADS, t, t), dtype)
+    mask = (jax.random.uniform(ks[6], (n, L, wn, t)) > 0.1).astype(dtype)
+
+    @jax.jit
+    def run(*a):
+        return window_attention(*a, heads=HEADS, dim_head=D)
+
+    ms = timeit(run, q, k, v, bias, mask)
+    print(f"attn_untyped pallas {np.dtype(dtype).name}: {ms:.2f} ms")
+
+
+def stage_lidar(variant="current"):
+    from flax import linen as nn
+
+    from hmvit_tpu.models.pillar_encoder import PillarFeatureNet
+
+    n_pts = 30000
+    key = jax.random.key(2)
+    pts = jax.random.uniform(key, (L, n_pts, 4), minval=-100, maxval=100)
+    mask = jnp.ones((L, n_pts))
+    net = PillarFeatureNet(
+        num_filters=[64], voxel_size=[0.4, 0.4, 4.0],
+        pc_range=[-102.4, -102.4, -3.0, 102.4, 102.4, 1.0],
+        grid_size=(512, 512))
+    variables = net.init(jax.random.key(0), pts, mask)
+
+    @jax.jit
+    def run(v, p, m):
+        return net.apply(v, p, m)
+
+    ms = timeit(run, variables, pts, mask, iters=10)
+    print(f"pillar_pfn_scatter ({variant}): {ms:.2f} ms")
+
+
+def stage_phase(dtype=jnp.float32, style="local"):
+    """One full H3GAT attention phase via the flax module."""
+    from hmvit_tpu.models.hetero_fusion import (
+        HeteroWindowAttention,
+        pairwise_roi_mask,
+    )
+
+    key = jax.random.key(3)
+    x = jax.random.normal(key, (B, L, H, W, C), dtype)
+    mode = jnp.array([[1, 0, 1, 0, 1]])
+    pair = rand_pairwise(key)
+    amask = jnp.ones((B, L))
+    mod = HeteroWindowAttention(dim=C, dim_head=D, window=WIN, style=style)
+    pm = pairwise_roi_mask(pair, amask, (H, W), 0.4, 4.0)
+    variables = mod.init(jax.random.key(0), x, mode, pair, amask,
+                         pair_mask=pm)
+
+    @jax.jit
+    def run(v, x, mode, pair, amask, pm):
+        return mod.apply(v, x, mode, pair, amask, True, pm)
+
+    ms = timeit(run, variables, x, mode, pair, amask, pm, iters=10)
+    print(f"phase[{style}] {np.dtype(dtype).name}: {ms:.2f} ms")
+
+
+STAGES = {
+    "warp": lambda: (stage_warp(jnp.float32), stage_warp(jnp.bfloat16)),
+    "attn": lambda: (stage_attn_typed(jnp.float32),),
+    "attn_untyped": lambda: (stage_attn_untyped(jnp.float32),
+                             stage_attn_untyped(jnp.bfloat16)),
+    "lidar": lambda: (stage_lidar(),),
+    "phase": lambda: (stage_phase(jnp.float32, "local"),
+                      stage_phase(jnp.float32, "grid")),
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(STAGES)
+    print("backend:", jax.default_backend(), jax.devices()[0])
+    for nm in names:
+        STAGES[nm]()

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 N, M, IMG = 2, 4, 64
 CFGS = {
     "cvt": {"encoder": "cvt", "dim": 32, "bev_size": 8, "out_dim": 48,

@@ -9,6 +9,8 @@ from hmvit_tpu.models.lidar_zoo import (
     VoxelNetDetector,
 )
 
+pytestmark = pytest.mark.slow
+
 RANGE = [-20.48, -20.48, -3.0, 20.48, 20.48, 1.0]
 CFG = {
     "voxel_size": [0.64, 0.64, 0.5],

@@ -111,6 +111,7 @@ def test_eval_determinism(mini_root):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_loader_feeds_model(mini_root):
     """Mini-dataset -> collate -> HMViT forward: the real data path."""
     import jax

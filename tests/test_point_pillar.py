@@ -14,6 +14,8 @@ from hmvit_tpu.data.synthetic import (
 from hmvit_tpu.models.point_pillar import PointPillarDetector
 from hmvit_tpu.train.losses import point_pillar_loss
 
+pytestmark = pytest.mark.slow
+
 # tiny config: range +-20.48 m, voxel 0.64 -> grid 64x64, heads 16x16
 RANGE = [-20.48, -20.48, -3.0, 20.48, 20.48, 1.0]
 CFG = {

@@ -5,6 +5,8 @@ import pytest
 
 from hmvit_tpu.models.resnet import ResNetEncoder
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("arch,ch3", [("resnet18", 256),
                                       ("resnet34", 256),

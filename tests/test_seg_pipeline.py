@@ -1,4 +1,5 @@
 """Camera BEV segmentation: model forward, loss grad, dataset GT."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +7,8 @@ import numpy as np
 from hmvit_tpu.data.synthetic import make_hetero_batch
 from hmvit_tpu.models.seg_head import seg_loss
 from hmvit_tpu.models.zoo import build_model
+
+pytestmark = pytest.mark.slow
 
 
 def test_camera_segmentor_end_to_end():

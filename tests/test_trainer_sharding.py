@@ -56,6 +56,7 @@ def test_eight_device_mesh_available():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow
 def test_data_parallel_step_runs_and_matches_single(setup):
     model, tx, batch, labels = setup
     mesh = make_mesh(jax.devices()[:8])
@@ -81,6 +82,7 @@ def test_data_parallel_step_runs_and_matches_single(setup):
     )
 
 
+@pytest.mark.slow
 def test_loss_decreases_under_dp(setup):
     model, tx, batch, labels = setup
     mesh = make_mesh(jax.devices()[:8])

@@ -55,9 +55,12 @@ def test_pillar_assignment_and_count():
     i0, i1, i2 = find_rows(sorted_pts, pts[:3])
     assert pid[i0] == pid[i1] != pid[i2]
     assert pid[i0] == 256 * 512 + 256
-    count = np.asarray(info["count"])
-    assert count[pid[i0]] == 2 and count[pid[i2]] == 1
-    assert count.sum() == 3
+    count = np.asarray(info["count_per_point"])
+    assert count[i0] == 2 and count[i1] == 2 and count[i2] == 1
+    assert count[~keep].sum() == 0
+    last = np.asarray(info["last_kept"])
+    assert (last > 0).sum() == 2  # two non-empty pillars
+    assert last[pid[i0]] - 1 in (i0, i1) and last[pid[i2]] - 1 == i2
 
 
 def test_per_pillar_cap_keeps_first_k():
@@ -72,8 +75,10 @@ def test_per_pillar_cap_keeps_first_k():
     assert keep.sum() == 32
     # stable sort keeps input order within the pillar -> tags 0..31
     assert set(kept_tags.astype(int)) == set(range(32))
-    pid_of_pillar = np.asarray(info["pillar_id"])[keep][0]
-    assert np.asarray(info["count"])[pid_of_pillar] == 32
+    assert np.all(np.asarray(info["count_per_point"])[keep] == 32)
+    # dropped (over-cap) points do not receive run totals
+    over_cap = (~keep) & (np.asarray(info["pillar_id"]) < 512 * 512)
+    assert np.all(np.asarray(info["count_per_point"])[over_cap] == 0)
 
 
 def test_cluster_mean_and_center_offsets():
@@ -118,3 +123,42 @@ def test_scatter_max_places_features():
     xi = int(np.floor((10.0 + 102.4) / 0.4))
     assert bev[yi, xi, 3] == 7.0
     assert np.count_nonzero(bev[..., 3]) == 2
+
+
+def test_scan_scatter_matches_segment_max_oracle():
+    """The scan+gather dense path == jax.ops.segment_max, randomized."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    grid = (32, 32)
+    pts = rng.uniform(-6.3, 6.3, size=(2, 500, 3)).astype(np.float32)
+    pts = np.concatenate([pts, rng.random((2, 500, 1), np.float32)], -1)
+    mask = (rng.random((2, 500)) > 0.1).astype(np.float32)
+    info = pillarize(jnp.asarray(pts), jnp.asarray(mask), VOXEL,
+                     (-6.4, -6.4, -3.0, 6.4, 6.4, 1.0), grid,
+                     max_points_per_pillar=8)
+    feats = jax.random.normal(jax.random.key(0),
+                              (info["points"].shape[0], 16))
+    got = np.asarray(scatter_max_to_bev(
+        feats, info["pillar_id"], info["keep"], grid, 2,
+        last_kept=info["last_kept"], max_run=8))
+
+    neg = jnp.where(info["keep"][:, None], feats, -jnp.inf)
+    oracle = jax.ops.segment_max(neg, info["pillar_id"],
+                                 num_segments=2 * 32 * 32 + 1)
+    oracle = np.asarray(
+        jnp.where(jnp.isfinite(oracle), oracle, 0.0))[:-1].reshape(
+            2, 32, 32, 16)
+    np.testing.assert_allclose(got, oracle, atol=1e-6)
+
+    # per-point mean stats against a numpy oracle
+    pid = np.asarray(info["pillar_id"])
+    keep = np.asarray(info["keep"])
+    mean = np.asarray(info["mean_xyz"])
+    cnt = np.asarray(info["count_per_point"])
+    spts = np.asarray(info["points"])
+    for i in np.flatnonzero(keep)[::37]:
+        members = keep & (pid == pid[i])
+        np.testing.assert_allclose(mean[i], spts[members, :3].mean(0),
+                                   atol=1e-5)
+        assert cnt[i] == members.sum()
