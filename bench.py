@@ -54,6 +54,9 @@ PROD_CFG = {
             "window_size": 8,
             "dim_head": 32,
             "drop_out": 0.0,
+            # TPU-standard mixed precision: params/residual fp32, fused
+            # warp + attention kernels in bf16 with fp32 MXU accumulation
+            "compute_dtype": "bfloat16",
         },
     },
     "hetero_decoder": {"input_dim": 256, "num_layer": 2,

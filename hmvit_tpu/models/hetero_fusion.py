@@ -36,12 +36,7 @@ from flax import linen as nn
 
 from ..ops.shear_warp import warp_bev_mxu
 from ..ops.warp import roi_and_agent_mask, warp_bev_nhwc
-from .layers import (
-    HeteroDense,
-    HeteroFeedForward,
-    HeteroLayerNorm,
-    hetero_param_gather,
-)
+from .layers import HeteroDense, HeteroFeedForward, HeteroLayerNorm
 
 
 def pairwise_roi_mask(pairwise, agent_mask, hw, discrete_ratio,
@@ -126,6 +121,9 @@ class HeteroWindowAttention(nn.Module):
     # fused Pallas attention core on TPU (ops/window_attention.py);
     # the XLA einsum path is the fallback/oracle
     use_pallas: bool = True
+    # mixed-precision compute dtype for projections/warp/attention; the
+    # residual stream, LN and params stay fp32 (MXU accumulates fp32)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
@@ -135,23 +133,68 @@ class HeteroWindowAttention(nn.Module):
         d = self.dim_head
         win = self.window
         scale = d ** -0.5
+        cdt = jnp.dtype(self.compute_dtype)
+        x = x.astype(cdt)
 
         q = HeteroDense(self.dim, self.num_types, name="to_q")(x, mode)
         k = HeteroDense(self.dim, self.num_types, name="to_k")(x, mode)
         v = HeteroDense(self.dim, self.num_types, name="to_v")(x, mode)
 
-        # Warp K/V of every sender j into every receiver i's frame, as one
-        # concatenated 2C-channel tensor (one gather pass).
+        # Relation-typed weights.  The reference applies
+        # W_att[type_i, type_j] between q_i and warped k_j per (i, j)
+        # pair; since only the RECEIVER type varies per i, fold the
+        # relation transform into K/V per receiver TYPE before the warp
+        # (2 typed variants per sender, not L^2 pair tensors) — the
+        # attention core downstream is then completely untyped and the
+        # per-pair tensors are produced by the warp alone.
+        num_rel = self.num_types ** 2
+        rel_att = self.param(
+            "relation_att", nn.initializers.xavier_uniform(),
+            (num_rel, heads, d, d))
+        rel_msg = self.param(
+            "relation_msg", nn.initializers.xavier_uniform(),
+            (num_rel, heads, d, d))
+        # idx[tau, b, j] = tau * num_types + mode[b, j]
+        taus = jnp.arange(self.num_types, dtype=mode.dtype)
+        idx = taus[:, None, None] * self.num_types + mode[None]
+        w_att_t = rel_att.astype(cdt)[idx]  # (T, B, J, heads, d, d)
+        w_msg_t = rel_msg.astype(cdt)[idx]
+
+        kh = k.reshape(b, l, h, w, heads, d)
+        vh = v.reshape(b, l, h, w, heads, d)
+        # k2[b, tau, j, :, h, d] = sum_e W_att[tau*T+mode_j, h, d, e] k[b, j, :, h, e]
+        k2 = jnp.einsum("bjxyhe,tbjhde->btjxyhd", kh, w_att_t,
+                        preferred_element_type=jnp.float32).astype(cdt)
+        v2 = jnp.einsum("bjxyhe,tbjhde->btjxyhd", vh, w_msg_t,
+                        preferred_element_type=jnp.float32).astype(cdt)
+        k2 = k2.reshape(b, self.num_types, l, h, w, c)
+        v2 = v2.reshape(b, self.num_types, l, h, w, c)
+
+        # Select each receiver's typed variant and warp sender j's K/V
+        # into receiver i's frame as one concatenated 2C tensor.
         # transform[b, i, j] = pairwise[b, j, i] (j -> i).
-        t_ij = jnp.swapaxes(pairwise, 1, 2)  # (B, I, J, 4, 4)
-        kv = jnp.concatenate([k, v], axis=-1)  # (B, J, H, W, 2C)
-        kv_rep = jnp.broadcast_to(kv[:, None], (b, l, l, h, w, 2 * c))
-        warp_fn = warp_bev_mxu if self.use_mxu_warp else warp_bev_nhwc
-        kv_pair = warp_fn(
-            kv_rep.reshape(b * l, l, h, w, 2 * c),
-            t_ij.reshape(b * l, l, 4, 4),
-            self.discrete_ratio, self.downsample_rate,
-        ).reshape(b, l, l, h, w, 2 * c)
+        kv2 = jnp.concatenate([k2, v2], axis=-1)  # (B, T, J, H, W, 2C)
+        use_fused_warp = (
+            self.use_pallas and jax.default_backend() == "tpu"
+            and h == w and h % 32 == 0 and h >= 56)
+        if use_fused_warp:
+            from ..ops.fused_warp import fused_pair_warp
+
+            kv_pair = fused_pair_warp(
+                kv2, pairwise, mode,
+                self.discrete_ratio, self.downsample_rate)
+        else:
+            ridx = mode[:, :, None, None, None, None]
+            kv_typed = jnp.take_along_axis(
+                kv2, ridx.astype(jnp.int32), axis=1
+            )  # (B, I, J, H, W, 2C) — gather, fused into the warp reads
+            t_ij = jnp.swapaxes(pairwise, 1, 2)  # (B, I, J, 4, 4)
+            warp_fn = warp_bev_mxu if self.use_mxu_warp else warp_bev_nhwc
+            kv_pair = warp_fn(
+                kv_typed.reshape(b * l, l, h, w, 2 * c),
+                t_ij.reshape(b * l, l, 4, 4),
+                self.discrete_ratio, self.downsample_rate,
+            ).reshape(b, l, l, h, w, 2 * c)
         k_pair = kv_pair[..., :c]
         v_pair = kv_pair[..., c:]  # (B, I, J, H, W, C)
 
@@ -162,18 +205,6 @@ class HeteroWindowAttention(nn.Module):
                 pairwise, agent_mask, (h, w),
                 self.discrete_ratio, self.downsample_rate)
         com_mask = pair_mask  # (B, I, H, W, J)
-
-        # relation-typed weights per (receiver, sender) pair
-        num_rel = self.num_types ** 2
-        rel_att = self.param(
-            "relation_att", nn.initializers.xavier_uniform(),
-            (num_rel, heads, d, d))
-        rel_msg = self.param(
-            "relation_msg", nn.initializers.xavier_uniform(),
-            (num_rel, heads, d, d))
-        pair_type = mode[:, :, None] * self.num_types + mode[:, None, :]
-        w_att = hetero_param_gather(rel_att, pair_type)  # (B, I, J, h, d, d)
-        w_msg = hetero_param_gather(rel_msg, pair_type)
 
         # window partition
         qw = _window_split(q, win, self.style)  # (B, I, X, Y, T, C)
@@ -196,57 +227,36 @@ class HeteroWindowAttention(nn.Module):
         )
         idx = jnp.asarray(relative_position_index(win))
         bias = table[idx]  # (T, T, heads)
+        bias_h = bias.transpose(2, 0, 1).astype(cdt)
 
+        qw = (qw * scale).astype(cdt)
         if self.use_pallas and jax.default_backend() == "tpu":
-            from ..ops.window_attention import fused_window_attention
+            from ..ops.window_attention import fused_plain_window_attention
 
-            out = fused_window_attention(
-                (qw * scale).reshape(b * l, nx * ny, t_tok, c),
+            out = fused_plain_window_attention(
+                qw.reshape(b * l, nx * ny, t_tok, c),
                 kw.reshape(b * l, l, nx * ny, t_tok, c),
                 vw.reshape(b * l, l, nx * ny, t_tok, c),
-                w_att.reshape(b * l, l, heads, d, d),
-                w_msg.reshape(b * l, l, heads, d, d),
-                bias.transpose(2, 0, 1).astype(x.dtype),
-                mw.reshape(b * l, l, nx * ny, t_tok),
+                bias_h,
+                mw.reshape(b * l, l, nx * ny, t_tok).astype(cdt),
                 heads, d,
             )
             out = out.reshape(b, l, nx, ny, t_tok, c)
-            out = _window_merge(out, win, self.style, h, w)
-            out = HeteroDense(self.dim, self.num_types,
-                              name="to_out")(out, mode)
-            return nn.Dropout(self.dropout,
-                              deterministic=deterministic)(out)
+        else:
+            from ..ops.window_attention import plain_window_attention_xla
 
-        qh = qw.reshape(b, l, nx, ny, t_tok, heads, d) * scale
-        kh = kw.reshape(b, l, l, nx, ny, t_tok, heads, d)
-        vh = vw.reshape(b, l, l, nx, ny, t_tok, heads, d)
+            out = plain_window_attention_xla(
+                qw.reshape(b * l, nx * ny, t_tok, c),
+                kw.reshape(b * l, l, nx * ny, t_tok, c),
+                vw.reshape(b * l, l, nx * ny, t_tok, c),
+                bias_h,
+                mw.reshape(b * l, l, nx * ny, t_tok).astype(cdt),
+                heads, d,
+            ).reshape(b, l, nx, ny, t_tok, c)
 
-        # typed bilinear attention: q . W_att[type_i, type_j] . k
-        q_rel = jnp.einsum("bixythd,bijhde->bijxythe", qh, w_att)
-        sim = jnp.einsum("bijxythe,bijxyshe->bijxyhts", q_rel, kh)
-        # sim: (B, I, J, X, Y, heads, T_q, T_k)
-        sim = sim + bias.transpose(2, 0, 1)[None, None, None, None, None]
-
-        # softmax over (J, T_k) jointly, masked
-        neg = jnp.asarray(-1e9, sim.dtype)
-        sim = jnp.where(mw[:, :, :, :, :, None, None, :] > 0, sim, neg)
-        sim = jnp.moveaxis(sim, 2, -2)  # (B, I, X, Y, h, T_q, J, T_k)
-        flat = sim.reshape(*sim.shape[:-2], l * t_tok)
-        attn = jax.nn.softmax(flat, axis=-1)
-        # fully-masked query rows (can happen with exclude_self): zero them
-        attn = jnp.where(
-            jnp.max(flat, axis=-1, keepdims=True) <= neg / 2,
-            jnp.zeros_like(attn), attn)
-        attn = attn.reshape(sim.shape)
-        attn = jnp.moveaxis(attn, -2, 2)  # back to (B, I, J, X, Y, h, Tq, Tk)
-
-        # message passing through W_msg, then aggregate
-        v_msg = jnp.einsum("bijhde,bijxyshe->bijxyshd", w_msg, vh)
-        out = jnp.einsum("bijxyhts,bijxyshd->bixythd", attn, v_msg)
-        out = out.reshape(b, l, nx, ny, t_tok, heads * d)
         out = _window_merge(out, win, self.style, h, w)
-
         out = HeteroDense(self.dim, self.num_types, name="to_out")(out, mode)
+        out = out.astype(jnp.float32)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
 
@@ -280,9 +290,11 @@ class HeteroFusionBlock(nn.Module):
     architect_mode: str = "sequential"
     discrete_ratio: float = 0.4
     downsample_rate: float = 4.0
+    compute_dtype: str = "float32"
 
     def _phase(self, style, name, x, mode, pairwise, agent_mask,
                deterministic, pair_mask):
+        cdt = jnp.dtype(self.compute_dtype)
         x_n = HeteroLayerNorm(name=f"{name}_norm")(x, mode)
         msg = HeteroWindowAttention(
             dim=self.input_dim,
@@ -292,15 +304,17 @@ class HeteroFusionBlock(nn.Module):
             dropout=self.dropout,
             discrete_ratio=self.discrete_ratio,
             downsample_rate=self.downsample_rate,
+            compute_dtype=self.compute_dtype,
             name=f"{name}_attn",
         )(x_n, mode, pairwise, agent_mask, deterministic, pair_mask)
         msg = msg * agent_mask[:, :, None, None, None]
         x = x + msg
         ffn_in = HeteroLayerNorm(name=f"{name}_ffn_norm")(x, mode)
-        x = x + HeteroFeedForward(
+        ffn = HeteroFeedForward(
             self.mlp_dim, num_types=2, dropout=self.dropout,
             name=f"{name}_ffn",
-        )(ffn_in, mode, deterministic)
+        )(ffn_in.astype(cdt), mode, deterministic)
+        x = x + ffn.astype(jnp.float32)
         return x
 
     @nn.compact
@@ -346,6 +360,7 @@ class HeteroFusion(nn.Module):
             architect_mode=blk.get("architect_mode", "sequential"),
             discrete_ratio=st.get("voxel_size", [0.4])[0],
             downsample_rate=st.get("downsample_rate", 4),
+            compute_dtype=blk.get("compute_dtype", "float32"),
         )
         pair_mask = pairwise_roi_mask(
             pairwise, agent_mask, x.shape[2:4],

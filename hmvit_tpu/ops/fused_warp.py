@@ -1,0 +1,313 @@
+"""Fused per-pair BEV warp — Pallas TPU kernel.
+
+The H3GAT phase warps every sender j's (typed) K/V map into every
+receiver i's frame.  Done in XLA this materializes the (B, I, J, H, W,
+2C) pair tensor twice over (type-gather output + warp output) and runs
+the separable-matmul warp through HBM.  This kernel fuses, per (i, j,
+32x32 destination tile):
+
+  1. the receiver-TYPE gather (the relation-fold produces one typed K/V
+     variant per receiver type; the DMA indexes the right one),
+  2. a 56x56 source-tile fetch — a RIGID BEV transform maps a 32x32
+     tile into a <=46-cell-wide support, so the whole warp input for
+     the tile lives in VMEM,
+  3. the two-pass separable bilinear resample (ops/shear_warp.py math:
+     banded interpolation matrices contracted on the MXU, built on the
+     VPU from the affine coefficients), with the same predicated
+     row-swap for conditioning under near-90-degree rotations.
+
+Zero padding falls out of the hat-function weights: the source tile is
+clamped inside the map, so out-of-map taps are never present in the
+tile and contribute exactly zero — matching grid_sample zero padding.
+
+XLA fallback / oracle: jnp.take_along_axis + ops.shear_warp.warp_bev_mxu
+(tests compare both; the backward pass recomputes through it).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .shear_warp import _pixel_affine
+from .warp import centered_affine, discretize_transform
+
+TILE = 32   # destination tile edge
+TS = 56     # source tile edge (>= 31*sqrt(2) + taps + margins)
+
+
+def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate):
+    """Host/XLA-side geometry: per (b, i, j) post-swap affine coefficients
+    and per-tile PHYSICAL source-tile origins.
+
+    Returns (coef (N, J, 8) f32, origins (N, J, XT, YT, 2) i32, rtype
+    (N,) i32) with N = B*I. coef rows: [m00, m01, tx, v0, v1, ty_adj,
+    swap, 0] — the warp_affine_mxu quantities after the conditioning
+    row swap.  origins are (oH, oW) in map axes regardless of swap."""
+    h, w = hw
+    b, l = pairwise.shape[:2]
+    t_ij = jnp.swapaxes(pairwise, 1, 2).reshape(b * l * l, 4, 4)
+    m23 = discretize_transform(t_ij, discrete_ratio, downsample_rate)
+    t = centered_affine(m23.astype(jnp.float32), (h, w))
+    a = _pixel_affine(t, (h, w), (h, w))  # (N*J, 2, 3) dst->src pixels
+    m00, m01, tx = a[:, 0, 0], a[:, 0, 1], a[:, 0, 2]
+    m10, m11, ty = a[:, 1, 0], a[:, 1, 1], a[:, 1, 2]
+
+    swap = jnp.abs(m00) < jnp.abs(m10)
+
+    def pick(p, q):
+        return jnp.where(swap, p, q)
+
+    # post-pick: "col" = src_in col coordinate, "row" = src_in row, where
+    # src_in is the transposed map when swapped (warp_affine_mxu:83-93)
+    m00, m01, tx, m10, m11, ty = (
+        pick(m10, m00), pick(m11, m01), pick(ty, tx),
+        pick(m00, m10), pick(m01, m11), pick(tx, ty),
+    )
+    det = m00 * m11 - m01 * m10
+    safe = jnp.where(jnp.abs(m00) < 1e-6, 1e-6, m00)
+    v0 = m10 / safe
+    v1 = det / safe
+    ty_adj = ty - v0 * tx
+
+    coef = jnp.stack(
+        [m00, m01, tx, v0, v1, ty_adj,
+         swap.astype(jnp.float32), jnp.zeros_like(m00)], axis=-1)
+    coef = jnp.where(jnp.isfinite(coef), coef, 0.0)  # invalid pads
+    coef = coef.reshape(b * l, l, 8)
+
+    # per-tile src_in-space mins from the dst tile corner extremes
+    xt, yt = w // TILE, h // TILE
+    x0 = (jnp.arange(xt, dtype=jnp.float32) * TILE)[None, :, None]
+    y0 = (jnp.arange(yt, dtype=jnp.float32) * TILE)[None, None, :]
+
+    def lin_min(c_x, c_y, c_0):
+        cx = c_x[:, None, None]
+        cy = c_y[:, None, None]
+        return (c_0[:, None, None]
+                + jnp.minimum(cx * x0, cx * (x0 + TILE - 1))
+                + jnp.minimum(cy * y0, cy * (y0 + TILE - 1)))
+
+    mf = coef.reshape(-1, 8)
+    min_col = lin_min(mf[:, 0], mf[:, 1], mf[:, 2])
+    # post-pick row coefficients: row = m10 x' + m11 y' + ty with
+    # m10 = v0*m00, m11 = v0*m01 + v1, ty = ty_adj + v0*tx
+    m10p = mf[:, 3] * mf[:, 0]
+    m11p = mf[:, 3] * mf[:, 1] + mf[:, 4]
+    typ_ = mf[:, 5] + mf[:, 3] * mf[:, 2]
+    min_row = lin_min(m10p, m11p, typ_)
+    min_col = jnp.where(jnp.isfinite(min_col), min_col, 0.0)
+    min_row = jnp.where(jnp.isfinite(min_row), min_row, 0.0)
+
+    # origins 8-aligned (TPU sublane tiling constrains dynamic DMA
+    # offsets); TS=56 absorbs support (<=49) + alignment slack (<=7)
+    orow_in = jnp.clip(
+        ((jnp.floor(min_row).astype(jnp.int32) - 2) // 8) * 8, 0, h - TS)
+    ocol_in = jnp.clip(
+        ((jnp.floor(min_col).astype(jnp.int32) - 2) // 8) * 8, 0, w - TS)
+    # physical map origins: when swapped, src_in rows are the map's W
+    # axis, so (oH, oW) = (ocol_in, orow_in)
+    sw = swap.reshape(-1)[:, None, None]
+    o_h = jnp.where(sw, ocol_in, orow_in)
+    o_w = jnp.where(sw, orow_in, ocol_in)
+    origins = jnp.stack([o_h, o_w], axis=-1).reshape(b * l, l, xt, yt, 2)
+
+    rtype = jnp.broadcast_to(mode.astype(jnp.int32)[:, :, None],
+                             (b, l, 1)).reshape(b * l)
+    return coef, origins, rtype
+
+
+def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
+                 scratch, sem, *, big_l, precision):
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    txi = pl.program_id(2)
+    tyi = pl.program_id(3)
+    # linear program index; rightmost grid dim iterates fastest
+    nn, nj = pl.num_programs(0), pl.num_programs(1)
+    nx, ny = pl.num_programs(2), pl.num_programs(3)
+    lin = ((n * nj + j) * nx + txi) * ny + tyi
+    total = nn * nj * nx * ny
+    slot = jax.lax.rem(lin, 2)
+
+    def start_fetch(lin_idx, slot_idx):
+        ty_ = jax.lax.rem(lin_idx, ny)
+        r = lin_idx // ny
+        tx_ = jax.lax.rem(r, nx)
+        r = r // nx
+        j_ = jax.lax.rem(r, nj)
+        n_ = r // nj
+        o_h = orig_ref[n_, j_, tx_, ty_, 0]
+        o_w = orig_ref[n_, j_, tx_, ty_, 1]
+        pltpu.make_async_copy(
+            src_ref.at[n_ // big_l, rtype_ref[n_], j_,
+                       pl.ds(pl.multiple_of(o_h, 8), TS),
+                       pl.ds(pl.multiple_of(o_w, 8), TS), :],
+            scratch.at[slot_idx], sem.at[slot_idx]).start()
+
+    # cross-program double buffering: program 0 fetches its own tile;
+    # every program prefetches the NEXT program's tile into the other
+    # slot, so the fetch overlaps this program's compute
+    @pl.when(lin == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(lin + 1 < total)
+    def _():
+        start_fetch(lin + 1, 1 - slot)
+
+    o_h = orig_ref[n, j, txi, tyi, 0]
+    o_w = orig_ref[n, j, txi, tyi, 1]
+    swap = coef_ref[n, j, 6] > 0.5
+
+    m00, m01, tx = coef_ref[n, j, 0], coef_ref[n, j, 1], coef_ref[n, j, 2]
+    v0, v1, tya = coef_ref[n, j, 3], coef_ref[n, j, 4], coef_ref[n, j, 5]
+
+    dtype = out_ref.dtype
+    # dst coordinates (2D iotas: TPU requires >=2D)
+    xs_row = ((txi * TILE).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1).astype(jnp.float32))
+    ys_row = ((tyi * TILE).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1).astype(jnp.float32))
+    ys_col = ((tyi * TILE).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0).astype(jnp.float32))
+    cells = jax.lax.broadcasted_iota(jnp.int32, (TS, 1), 0).astype(jnp.float32)
+    cells_row = jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1).astype(jnp.float32)
+
+    pltpu.make_async_copy(src_ref.at[0, 0, 0, pl.ds(0, TS),
+                                     pl.ds(0, TS), :],
+                          scratch.at[slot], sem.at[slot]).wait()
+    tile = scratch[slot]
+
+    def two_pass(tile_cr, orow_in, ocol_in):
+        """tile_cr: (C=TS, R=TS, Ck) — src_in tile with its COLUMN axis
+        leading (Mosaic batched matmuls want batch at dim 0 on both
+        operands).  Returns dst (y', x', Ck)."""
+        # pass 1 along src_in rows: row(c, y') = v1 y' + v0 c + tya
+        ccol = ocol_in.astype(jnp.float32) + cells  # (C, 1)
+        rcoord = v1 * ys_row + v0 * ccol + tya      # (C, T)
+        # hat weights over absolute rows [orow_in, orow_in + TS)
+        rcell = orow_in.astype(jnp.float32) + cells_row  # (1, TS)
+        s1 = jnp.maximum(
+            0.0, 1.0 - jnp.abs(rcoord[:, :, None] - rcell[None])
+        ).astype(dtype)  # (C, T, R)
+        tmp = jax.lax.dot_general(
+            s1, tile_cr, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(dtype)
+        # tmp: (C, y', ch) -> (y', C, ch) for the batched pass 2
+        tmp_t = jnp.swapaxes(tmp, 0, 1)
+
+        # pass 2 along src_in cols: col(y', x') = m00 x' + m01 y' + tx
+        ccoord = m00 * xs_row + m01 * ys_col + tx
+        ccell = ocol_in.astype(jnp.float32) + cells_row  # (1, TS)
+        s2 = jnp.maximum(
+            0.0, 1.0 - jnp.abs(ccoord[:, :, None] - ccell[None])
+        ).astype(dtype)  # (y', x', C)
+        out = jax.lax.dot_general(
+            s2, tmp_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(dtype)
+        return out  # (y', x', ch)
+
+    @pl.when(jnp.logical_not(swap))
+    def _():
+        # src_in = map orientation: rows are H, cols are W; the
+        # column-leading operand is the transposed tile
+        out_ref[0, 0] = two_pass(jnp.swapaxes(tile, 0, 1), o_h, o_w)
+
+    @pl.when(swap)
+    def _():
+        # conditioning swap: src_in is the transposed map (rows = W,
+        # cols = H) — column-leading src_in IS the tile as fetched
+        out_ref[0, 0] = two_pass(tile, o_w, o_h)
+
+
+@partial(jax.jit, static_argnames=("discrete_ratio", "downsample_rate",
+                                   "interpret"))
+def pallas_pair_warp(src_typed, pairwise, mode,
+                     discrete_ratio: float, downsample_rate: float,
+                     interpret: bool = False):
+    """Warp typed sender maps into every receiver's frame.
+
+    src_typed: (B, TY, J, H, W, Ck) — per-receiver-type sender maps
+    (TY=1 for untyped); pairwise: (B, L, L, 4, 4) with pairwise[b, j, i]
+    mapping j's frame into i's; mode: (B, L) receiver type in [0, TY).
+    Returns (B, I, J, H, W, Ck) = for each receiver i, sender j's map
+    warped into i's frame, reading the variant src_typed[b, mode_i].
+    """
+    bsz, ty_count, l, h, w, ck = src_typed.shape
+    assert h == w and h % TILE == 0 and h >= TS, (h, w)
+    coef, origins, rtype = _prep_affines(
+        pairwise, mode, (h, w), discrete_ratio, downsample_rate)
+    xt, yt = w // TILE, h // TILE
+    n = bsz * l
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # coef, origins, rtype
+        grid=(n, l, xt, yt),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 1, TILE, TILE, ck),
+            lambda n, j, txi, tyi, *_: (n, j, tyi, txi, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, TS, TS, ck), src_typed.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    precision = (jax.lax.Precision.HIGHEST
+                 if src_typed.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    kernel = partial(_warp_kernel, big_l=l, precision=precision)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, l, h, w, ck), src_typed.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(coef, origins, rtype, src_typed)
+    return out.reshape(bsz, l, l, h, w, ck)
+
+
+def pair_warp_xla(src_typed, pairwise, mode, discrete_ratio,
+                  downsample_rate):
+    """Oracle / grad path: type-gather + MXU separable warp."""
+    from .shear_warp import warp_bev_mxu
+
+    bsz, ty_count, l, h, w, ck = src_typed.shape
+    ridx = mode[:, :, None, None, None, None].astype(jnp.int32)
+    typed = jnp.take_along_axis(src_typed, ridx, axis=1)  # (B, I, J, ...)
+    t_ij = jnp.swapaxes(pairwise, 1, 2)
+    return warp_bev_mxu(
+        typed.reshape(bsz * l, l, h, w, ck),
+        t_ij.reshape(bsz * l, l, 4, 4),
+        discrete_ratio, downsample_rate,
+    ).reshape(bsz, l, l, h, w, ck)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_pair_warp(src_typed, pairwise, mode, discrete_ratio,
+                    downsample_rate):
+    """Pallas forward, XLA-recompute backward."""
+    return pallas_pair_warp(src_typed, pairwise, mode, discrete_ratio,
+                            downsample_rate)
+
+
+def _fpw_fwd(src_typed, pairwise, mode, dr, ds):
+    return (pallas_pair_warp(src_typed, pairwise, mode, dr, ds),
+            (src_typed, pairwise, mode))
+
+
+def _fpw_bwd(dr, ds, res, g):
+    src_typed, pairwise, mode = res
+    _, vjp = jax.vjp(lambda s: pair_warp_xla(s, pairwise, mode, dr, ds),
+                     src_typed)
+    return (*vjp(g), None, None)
+
+
+fused_pair_warp.defvjp(_fpw_fwd, _fpw_bwd)

@@ -51,6 +51,11 @@ def _kernel(q_ref, k_ref, v_ref, watt_ref, wmsg_ref, bias_ref, mask_ref,
             exp = jnp.exp(sim - sim_max)
             denom = jnp.sum(exp, axis=1, keepdims=True)
             attn = exp / denom  # (T, J*T)
+            # fully-masked query rows (exclude_self + invalid senders)
+            # must emit zero, matching the XLA oracle — uniform attention
+            # over -1e9 entries would leak masked values
+            attn = jnp.where(sim_max <= neg / 2, jnp.zeros_like(attn),
+                             attn)
 
             acc = jnp.zeros((t, d), jnp.float32)
             for j in range(n_senders):
@@ -149,6 +154,143 @@ def _fwa_bwd(heads, dim_head, residuals, g):
 fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
 
 
+def _plain_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+                  heads: int, dim_head: int, n_senders: int, w_block: int):
+    """Untyped multi-sender window attention (relation weights already
+    folded into K/V upstream): one batched MXU matmul per head for the
+    similarities against the joint (J*T) key axis and one for the
+    messages — no per-(head, sender) small-matmul storm."""
+    t = q_ref.shape[-2]
+    d = dim_head
+    neg = jnp.asarray(-1e9, jnp.float32)
+    j = n_senders
+
+    q = q_ref[0].astype(jnp.float32)  # (wb, T, C)
+    for h in range(heads):
+        qh = q[:, :, h * d:(h + 1) * d]  # (wb, T, d)
+        bias_h = bias_ref[h].astype(jnp.float32)  # (T, T)
+        sims = []
+        vs = []
+        for jj in range(j):
+            kh = k_ref[0, jj, :, :, h * d:(h + 1) * d].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qh, kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (wb, T, T)
+            m = mask_ref[0, :, jj, :].astype(jnp.float32)  # (wb, T)
+            s = jnp.where(m[:, None, :] > 0, s + bias_h[None], neg)
+            sims.append(s)
+            vs.append(v_ref[0, jj, :, :, h * d:(h + 1) * d].astype(
+                jnp.float32))
+        sim = jnp.concatenate(sims, axis=-1)  # (wb, T, J*T)
+        v_cat = jnp.concatenate(vs, axis=1)   # (wb, J*T, d)
+
+        mx = jnp.max(sim, axis=-1, keepdims=True)
+        ex = jnp.exp(sim - mx)
+        den = jnp.sum(ex, axis=-1, keepdims=True)
+        attn = ex / den
+        attn = jnp.where(mx <= neg / 2, jnp.zeros_like(attn), attn)
+
+        out = jax.lax.dot_general(
+            attn, v_cat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (wb, T, d)
+        out_ref[0, :, :, h * d:(h + 1) * d] = out.astype(out_ref.dtype)
+
+
+@partial(jax.jit,
+         static_argnames=("heads", "dim_head", "interpret", "w_block"))
+def plain_window_attention(q, k, v, bias, mask, heads: int, dim_head: int,
+                           interpret: bool = False, w_block: int = 8):
+    """Fused untyped multi-sender window attention.
+
+    q: (N, W, T, C); k, v: (N, J, W, T, C) already relation-transformed
+    and warped; bias: (heads, T, T); mask: (N, J, W, T).
+    Returns (N, W, T, C).
+    """
+    n, w_cnt, t, c = q.shape
+    j = k.shape[1]
+    while w_cnt % w_block:
+        w_block //= 2
+    grid = (n, w_cnt // w_block)
+    kernel = partial(_plain_kernel, heads=heads, dim_head=dim_head,
+                     n_senders=j, w_block=w_block)
+    wb = w_block
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, wb, t, c), lambda i, wi: (i, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, wb, t, c), lambda i, wi: (i, 0, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, wb, t, c), lambda i, wi: (i, 0, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, t, t), lambda i, wi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # mask transposed to (N, W, J, T): trailing dims full axes
+            pl.BlockSpec((1, wb, j, t), lambda i, wi: (i, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wb, t, c), lambda i, wi: (i, wi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, w_cnt, t, c), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias, jnp.swapaxes(mask, 1, 2))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_plain_window_attention(q, k, v, bias, mask, heads: int,
+                                 dim_head: int):
+    """Pallas forward, XLA-recompute backward (same contract as
+    :func:`fused_window_attention`)."""
+    return plain_window_attention(q, k, v, bias, mask, heads=heads,
+                                  dim_head=dim_head)
+
+
+def _fpwa_fwd(q, k, v, bias, mask, heads, dim_head):
+    out = plain_window_attention(q, k, v, bias, mask, heads=heads,
+                                 dim_head=dim_head)
+    return out, (q, k, v, bias, mask)
+
+
+def _fpwa_bwd(heads, dim_head, residuals, g):
+    q, k, v, bias, mask = residuals
+    _, vjp = jax.vjp(
+        lambda *a: plain_window_attention_xla(*a, heads=heads,
+                                              dim_head=dim_head),
+        q, k, v, bias, mask,
+    )
+    return vjp(g)
+
+
+fused_plain_window_attention.defvjp(_fpwa_fwd, _fpwa_bwd)
+
+
+def plain_window_attention_xla(q, k, v, bias, mask, heads: int,
+                               dim_head: int):
+    """XLA reference for the untyped kernel (oracle + grad recompute).
+
+    Accumulates in fp32 regardless of input dtype, like the kernel."""
+    n, w_cnt, t, c = q.shape
+    j = k.shape[1]
+    d = dim_head
+    qh = q.reshape(n, w_cnt, t, heads, d)
+    kh = k.reshape(n, j, w_cnt, t, heads, d)
+    vh = v.reshape(n, j, w_cnt, t, heads, d)
+    sim = jnp.einsum("nwthd,njwshd->njwhts", qh, kh,
+                     preferred_element_type=jnp.float32)
+    sim = sim + bias.astype(jnp.float32)[None, None, None]
+    sim = jnp.where(mask[:, :, :, None, None, :] > 0, sim, -1e9)
+    sim = jnp.moveaxis(sim, 1, -2)  # (n, w, h, t, j, s)
+    flat = sim.reshape(*sim.shape[:-2], j * t)
+    attn = jax.nn.softmax(flat, axis=-1)
+    attn = jnp.where(jnp.max(flat, -1, keepdims=True) <= -5e8,
+                     jnp.zeros_like(attn), attn)
+    attn = jnp.moveaxis(attn.reshape(sim.shape), -2, 1)
+    out = jnp.einsum("njwhts,njwshd->nwthd", attn, vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n, w_cnt, t, heads * d).astype(q.dtype)
+
+
 def hetero_window_attention_xla(q, k, v, w_att, w_msg, bias, mask,
                                 heads: int, dim_head: int):
     """Reference XLA einsum implementation (oracle + fallback)."""
@@ -165,7 +307,11 @@ def hetero_window_attention_xla(q, k, v, w_att, w_msg, bias, mask,
     sim = sim + bias.transpose(0, 1, 2)[None, None, None]
     sim = jnp.where(mask[:, :, :, None, None, :] > 0, sim, -1e9)
     sim = jnp.moveaxis(sim, 1, -2)  # (n, w, h, t, j, s)
-    attn = jax.nn.softmax(sim.reshape(*sim.shape[:-2], j * t), axis=-1)
+    flat = sim.reshape(*sim.shape[:-2], j * t)
+    attn = jax.nn.softmax(flat, axis=-1)
+    # fully-masked query rows emit zero (matches the kernel + module)
+    attn = jnp.where(jnp.max(flat, -1, keepdims=True) <= -5e8,
+                     jnp.zeros_like(attn), attn)
     attn = jnp.moveaxis(attn.reshape(sim.shape), -2, 1)
     v_msg = jnp.einsum("njhde,njwshe->njwshd", w_msg, vh)
     out = jnp.einsum("njwhts,njwshd->nwthd", attn, v_msg)

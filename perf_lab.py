@@ -103,7 +103,9 @@ def stage_attn_typed(dtype=jnp.float32):
 
 def stage_attn_untyped(dtype=jnp.float32):
     """New untyped Pallas kernel (post-fold)."""
-    from hmvit_tpu.ops.window_attention import window_attention
+    from hmvit_tpu.ops.window_attention import (
+        plain_window_attention as window_attention,
+    )
 
     t = WIN * WIN
     wn = (H // WIN) * (W // WIN)
@@ -147,7 +149,7 @@ def stage_lidar(variant="current"):
     print(f"pillar_pfn_scatter ({variant}): {ms:.2f} ms")
 
 
-def stage_phase(dtype=jnp.float32, style="local"):
+def stage_phase(compute_dtype="float32", style="local"):
     """One full H3GAT attention phase via the flax module."""
     from hmvit_tpu.models.hetero_fusion import (
         HeteroWindowAttention,
@@ -155,11 +157,12 @@ def stage_phase(dtype=jnp.float32, style="local"):
     )
 
     key = jax.random.key(3)
-    x = jax.random.normal(key, (B, L, H, W, C), dtype)
+    x = jax.random.normal(key, (B, L, H, W, C), jnp.float32)
     mode = jnp.array([[1, 0, 1, 0, 1]])
     pair = rand_pairwise(key)
     amask = jnp.ones((B, L))
-    mod = HeteroWindowAttention(dim=C, dim_head=D, window=WIN, style=style)
+    mod = HeteroWindowAttention(dim=C, dim_head=D, window=WIN, style=style,
+                                compute_dtype=compute_dtype)
     pm = pairwise_roi_mask(pair, amask, (H, W), 0.4, 4.0)
     variables = mod.init(jax.random.key(0), x, mode, pair, amask,
                          pair_mask=pm)
@@ -169,7 +172,7 @@ def stage_phase(dtype=jnp.float32, style="local"):
         return mod.apply(v, x, mode, pair, amask, True, pm)
 
     ms = timeit(run, variables, x, mode, pair, amask, pm, iters=10)
-    print(f"phase[{style}] {np.dtype(dtype).name}: {ms:.2f} ms")
+    print(f"phase[{style}] {compute_dtype}: {ms:.2f} ms")
 
 
 STAGES = {
@@ -178,8 +181,10 @@ STAGES = {
     "attn_untyped": lambda: (stage_attn_untyped(jnp.float32),
                              stage_attn_untyped(jnp.bfloat16)),
     "lidar": lambda: (stage_lidar(),),
-    "phase": lambda: (stage_phase(jnp.float32, "local"),
-                      stage_phase(jnp.float32, "grid")),
+    "phase": lambda: (stage_phase("float32", "local"),
+                      stage_phase("float32", "grid"),
+                      stage_phase("bfloat16", "local"),
+                      stage_phase("bfloat16", "grid")),
 }
 
 

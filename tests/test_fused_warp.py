@@ -1,0 +1,62 @@
+"""Pallas fused pair-warp kernel vs the XLA type-gather + MXU warp
+oracle (interpret mode), over rotations incl. near-90-degree (the
+conditioning-swap branch), large translations, and map-edge clipping."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hmvit_tpu.ops.fused_warp import pair_warp_xla, pallas_pair_warp
+
+B, L, H, W, CK = 1, 3, 64, 64, 128
+
+
+def rigid_pairwise(rng, b=B, l=L, max_t=8.0):
+    ang = rng.uniform(-np.pi, np.pi, (b, l))
+    pos = rng.uniform(-max_t, max_t, (b, l, 2))
+    m = np.tile(np.eye(4, dtype=np.float64), (b, l, 1, 1))
+    m[:, :, 0, 0] = np.cos(ang)
+    m[:, :, 0, 1] = -np.sin(ang)
+    m[:, :, 1, 0] = np.sin(ang)
+    m[:, :, 1, 1] = np.cos(ang)
+    m[:, :, :2, 3] = pos
+    minv = np.linalg.inv(m)
+    return np.einsum("bixy,bjyz->bjixz", minv, m).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed,max_t", [(0, 5.0), (1, 20.0), (2, 2.0)])
+def test_kernel_matches_xla_oracle(seed, max_t):
+    rng = np.random.default_rng(seed)
+    src = jnp.asarray(rng.normal(size=(B, 2, L, H, W, CK))
+                      .astype(np.float32))
+    pair = jnp.asarray(rigid_pairwise(rng, max_t=max_t))
+    mode = jnp.asarray(rng.integers(0, 2, (B, L)))
+    want = np.asarray(pair_warp_xla(src, pair, mode, 1.0, 1.0))
+    got = np.asarray(pallas_pair_warp(src, pair, mode, 1.0, 1.0,
+                                      interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_kernel_exact_angles_and_identity():
+    """Axis-aligned angles exercise both swap branches exactly."""
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.normal(size=(B, 2, 4, H, W, CK))
+                      .astype(np.float32))
+    m = np.tile(np.eye(4, dtype=np.float64), (1, 4, 1, 1))
+    for i, ang in enumerate([0.0, np.pi / 2, np.pi, -np.pi / 2]):
+        c, s = np.cos(ang), np.sin(ang)
+        m[0, i, :2, :2] = [[c, -s], [s, c]]
+        m[0, i, :2, 3] = [3.0 * i, -2.0 * i]
+    minv = np.linalg.inv(m)
+    pair = jnp.asarray(
+        np.einsum("bixy,bjyz->bjixz", minv, m).astype(np.float32))
+    mode = jnp.asarray([[0, 1, 1, 0]])
+    want = np.asarray(pair_warp_xla(src, pair, mode, 1.0, 1.0))
+    got = np.asarray(pallas_pair_warp(src, pair, mode, 1.0, 1.0,
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+    # identity diagonal: receiver i, sender i must be the src itself
+    for i in range(4):
+        np.testing.assert_allclose(
+            got[0, i, i], np.asarray(src[0, mode[0, i], i]), atol=2e-4)

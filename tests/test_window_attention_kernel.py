@@ -6,6 +6,8 @@ import numpy as np
 from hmvit_tpu.ops.window_attention import (
     hetero_window_attention,
     hetero_window_attention_xla,
+    plain_window_attention,
+    plain_window_attention_xla,
 )
 
 N, J, W, T, HEADS, D = 2, 3, 4, 16, 4, 8
@@ -53,3 +55,61 @@ def test_kernel_fully_masked_sender():
     )
     np.testing.assert_allclose(base, poisoned, atol=1e-5)
     assert np.all(np.isfinite(base))
+
+
+def test_kernel_fully_masked_rows_emit_zero():
+    """Rows whose every (sender, token) entry is masked — the
+    exclude_self trap — must emit exactly zero, matching the XLA path."""
+    q, k, v, w_att, w_msg, bias, mask = make_inputs(2)
+    mask = mask.at[0, :, 1].set(0.0)  # window 1 of receiver 0: all masked
+    got = np.asarray(
+        hetero_window_attention(q, k, v, w_att, w_msg, bias, mask,
+                                heads=HEADS, dim_head=D, interpret=True)
+    )
+    want = np.asarray(
+        hetero_window_attention_xla(q, k, v, w_att, w_msg, bias, mask,
+                                    heads=HEADS, dim_head=D)
+    )
+    assert np.all(got[0, 1] == 0.0)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_plain_kernel_matches_xla_oracle():
+    q, k, v, _, _, bias, mask = make_inputs(3)
+    want = np.asarray(
+        plain_window_attention_xla(q, k, v, bias, mask,
+                                   heads=HEADS, dim_head=D))
+    got = np.asarray(
+        plain_window_attention(q, k, v, bias, mask, heads=HEADS,
+                               dim_head=D, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_plain_kernel_masked_rows_and_senders():
+    q, k, v, _, _, bias, mask = make_inputs(4)
+    mask = mask.at[:, 2].set(0.0)       # dead sender
+    mask = mask.at[1, :, 0].set(0.0)    # fully-masked window
+    got = np.asarray(
+        plain_window_attention(q, k.at[:, 2].set(777.0),
+                               v.at[:, 2].set(777.0), bias, mask,
+                               heads=HEADS, dim_head=D, interpret=True))
+    want = np.asarray(
+        plain_window_attention_xla(q, k, v, bias, mask,
+                                   heads=HEADS, dim_head=D))
+    assert np.all(got[1, 0] == 0.0)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_plain_kernel_bf16():
+    q, k, v, _, _, bias, mask = make_inputs(5)
+    cast = lambda a: a.astype(jnp.bfloat16)  # noqa: E731
+    want = np.asarray(
+        plain_window_attention_xla(cast(q), cast(k), cast(v), cast(bias),
+                                   cast(mask), heads=HEADS, dim_head=D)
+    ).astype(np.float32)
+    got = np.asarray(
+        plain_window_attention(cast(q), cast(k), cast(v), cast(bias),
+                               cast(mask), heads=HEADS, dim_head=D,
+                               interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
