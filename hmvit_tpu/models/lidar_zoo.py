@@ -51,8 +51,7 @@ class VoxelFeatureNet(nn.Module):
         feats = MaskedBatchNorm()(feats, info["keep"], train)
         feats = nn.relu(feats) * info["keep"][:, None]
         return scatter_max_to_bev(feats, info["pillar_id"], info["keep"],
-                                  grid, points.shape[0],
-                                  last_kept=info["last_kept"], max_run=32)
+                                  grid, points.shape[0], max_run=32)
 
 
 class VoxelNetDetector(nn.Module):
@@ -129,8 +128,7 @@ class PIXORDetector(nn.Module):
         occ_int = jnp.stack(
             [jnp.ones_like(flat[:, 3]), flat[:, 3]], axis=1)
         vox = scatter_max_to_bev(occ_int, info["pillar_id"], info["keep"],
-                                 tuple(grid), points.shape[0],
-                                 last_kept=info["last_kept"], max_run=32)
+                                 tuple(grid), points.shape[0], max_run=32)
         # (N, nz, ny, nx, 2) -> occupancy per z + intensity folded to BEV
         n, nz, ny, nx, _ = vox.shape
         occ = vox[..., 0].transpose(0, 2, 3, 1)  # (N, ny, nx, nz)

@@ -95,7 +95,7 @@ class PillarFeatureNet(nn.Module):
 
         return scatter_max_to_bev(
             feats, info["pillar_id"], keep, grid, n_clouds,
-            sorted_ids=self.enforce_cap, last_kept=info["last_kept"],
+            sorted_ids=self.enforce_cap,
             max_run=self.max_points_per_pillar if self.enforce_cap
             else None)
 

@@ -167,9 +167,9 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         # Per-pillar statistics WITHOUT scattering into the dense grid:
         # kept points of a pillar are consecutive (sorted + cap keeps the
         # first K), so log-shift segmented scans over the point array
-        # compute per-point cluster sums/counts on the VPU.  The only
-        # dense-grid op is one scalar segment_max of point indices, which
-        # downstream inverts into a gather (see scatter_max_to_bev).
+        # compute per-point cluster sums/counts on the VPU.  No dense
+        # segment op anywhere — the dense grid only materializes in
+        # scatter_max_to_bev's compaction + expansion.
         steps = scan_steps(max_points_per_pillar if enforce_cap else None,
                            p)
         pid2 = jnp.where(keep, sorted_pid, -1)
@@ -178,11 +178,6 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         tot = segmented_run_totals(vals, pid2, steps, jnp.add, 0.0)
         count_pt = tot[:, 3]
         mean_xyz = tot[:, :3] / jnp.maximum(count_pt[:, None], 1.0)
-        iota = jnp.arange(1, p + 1, dtype=jnp.int32)
-        last_kept = jax.ops.segment_max(
-            jnp.where(keep, iota, 0), sorted_pid,
-            num_segments=num_pillars + 1,
-            indices_are_sorted=True)[:-1]
     else:
         count = jax.ops.segment_sum(keep_f, sorted_pid,
                                     num_segments=num_pillars + 1,
@@ -193,7 +188,6 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         mean_per_pillar = sums / jnp.maximum(count[:, None], 1.0)
         mean_xyz = mean_per_pillar[sorted_pid]
         count_pt = count[sorted_pid]
-        last_kept = None
 
     del order
     centers = (gi_s.astype(jnp.float32) + 0.5) * voxel_size + pc_range[:3]
@@ -204,7 +198,6 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         "mean_xyz": mean_xyz,
         "center_offset": xyz_s - centers,
         "count_per_point": count_pt,
-        "last_kept": last_kept,
         "num_clouds": n_clouds,
     }
 
@@ -231,7 +224,8 @@ def pillar_point_features(pillar_info, use_absolute_xyz: bool = True,
 
 def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
                        num_clouds: int = 1, sorted_ids: bool = True,
-                       last_kept=None, max_run: int | None = None):
+                       max_run: int | None = None,
+                       use_expand_kernel: bool = False):
     """Max-pool per-point features into the dense BEV grid.
 
     point_features: (P, C) flat over all clouds; returns
@@ -240,12 +234,14 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
     zero-initialized scatter since the PFN output is post-ReLU, i.e.
     non-negative).
 
-    With sorted ids the wide scatter never happens: a segmented max-scan
-    leaves each pillar's reduction at its last kept point, one scalar
-    ``segment_max`` of point indices (``last_kept``, reusable from
-    ``pillarize``) locates those points, and the dense grid is a
-    row-contiguous gather — the access pattern the TPU memory system is
-    fast at, unlike XLA's serialized multi-channel scatter.
+    With sorted ids the wide multi-channel scatter never happens: a
+    segmented max-scan leaves each pillar's reduction at its last kept
+    point, one scalar ``segment_max`` of point indices locates those
+    points, and the dense grid is a row-contiguous gather.  (An
+    alternative scatter-free path — compaction + the block-local
+    one-hot expansion kernel in ops/expand.py — is available via
+    ``use_expand_kernel``; measured slower than the gather on v5e at
+    production shapes, kept for larger-C workloads.)
     """
     nx, ny = grid_size[0], grid_size[1]
     nz = grid_size[2] if len(grid_size) > 2 else 1
@@ -265,15 +261,41 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
         scanned = segmented_scan(point_features, pid2, steps, jnp.maximum,
                                  jnp.asarray(-jnp.inf,
                                              point_features.dtype))
-        if last_kept is None:
+        scanned = scanned * keep[:, None].astype(scanned.dtype)
+        if use_expand_kernel:
+            from .expand import (
+                BLOCK,
+                expand_rows_to_dense,
+                expand_rows_to_dense_xla,
+            )
+
+            # compact: one row per non-empty pillar, in cell order
+            nxt = jnp.concatenate(
+                [pid2[1:], jnp.full((1,), -1, pid2.dtype)])
+            is_last = keep & (pid2 != nxt)
+            nz_idx = jnp.nonzero(is_last, size=p, fill_value=p - 1)[0]
+            comp = jnp.take(scanned, nz_idx, axis=0)
+            n_nz = jnp.sum(is_last.astype(jnp.int32))
+            comp_ids = jnp.where(
+                jnp.arange(p, dtype=jnp.int32) < n_nz,
+                jnp.take(pillar_id, nz_idx).astype(jnp.int32),
+                jnp.int32(num_pillars))
+            if (jax.default_backend() == "tpu"
+                    and num_pillars % BLOCK == 0):
+                dense = expand_rows_to_dense(comp, comp_ids, num_pillars)
+            else:
+                dense = expand_rows_to_dense_xla(comp, comp_ids,
+                                                 num_pillars)
+        else:
             iota = jnp.arange(1, p + 1, dtype=jnp.int32)
             last_kept = jax.ops.segment_max(
                 jnp.where(keep, iota, 0), pillar_id,
                 num_segments=num_pillars + 1,
                 indices_are_sorted=True)[:-1]
-        feat = jnp.take(scanned, jnp.maximum(last_kept - 1, 0), axis=0)
-        dense = jnp.where((last_kept > 0)[:, None], feat,
-                          jnp.zeros((), point_features.dtype))
+            feat = jnp.take(scanned, jnp.maximum(last_kept - 1, 0),
+                            axis=0)
+            dense = jnp.where((last_kept > 0)[:, None], feat,
+                              jnp.zeros((), point_features.dtype))
 
     if nz > 1:
         return dense.reshape(num_clouds, nz, ny, nx, -1)
