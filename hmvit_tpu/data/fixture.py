@@ -88,3 +88,28 @@ def write_mini_opv2v(
                         cv2.imwrite(
                             os.path.join(cav_dir, f"{ts}_camera{mi}.png"),
                             img)
+
+                    # BEV map ground truth rasters (same per-frame file
+                    # scheme as the real OPV2V release: reference
+                    # basedataset.py add_data_extension handling).
+                    # Dynamic = vehicle boxes in this cav's frame;
+                    # static = road band; lane = center line.
+                    from ..models.seg_head import rasterize_boxes_to_mask
+
+                    map_range = [-50, -50, -3, 50, 50, 1]
+                    msize = 128
+                    in_frame = synthetic.vehicles_in_agent_frame(
+                        vehicles, pose, map_range)
+                    dyn = rasterize_boxes_to_mask(
+                        in_frame, map_range, (msize, msize), "hwl") * 255
+                    road = np.zeros((msize, msize), np.uint8)
+                    road[msize // 4: 3 * msize // 4] = 255  # road band
+                    lane = np.zeros((msize, msize), np.uint8)
+                    lane[msize // 2 - 1: msize // 2 + 1] = 255
+                    for name, m in (("bev_dynamic", dyn),
+                                    ("bev_static", road),
+                                    ("bev_lane", lane),
+                                    ("bev_visibility_corp", dyn)):
+                        cv2.imwrite(
+                            os.path.join(cav_dir, f"{ts}_{name}.png"),
+                            np.stack([m] * 3, -1))

@@ -118,6 +118,14 @@ def scan_scenarios(root: str) -> list:
                         os.path.join(cav_dir, f"{ts}_camera{i}.png")
                         for i in range(4)
                     ],
+                    # BEV map GT rasters (the real OPV2V release ships
+                    # them per frame; reference basedataset.py:77-85
+                    # loads them via add_data_extension)
+                    "bev_maps": {
+                        name: os.path.join(cav_dir, f"{ts}_{name}.png")
+                        for name in ("bev_dynamic", "bev_static",
+                                     "bev_lane", "bev_visibility_corp")
+                    },
                 }
             cavs[cav] = frames
         scenarios.append((scen, cavs))
@@ -160,6 +168,14 @@ class HeteroCooperativeDataset:
                     .get("camera_preprocess", {}).get("args", {}))
         self.image_size = cam_args.get("resize_x", 512)
         self.order = params["postprocess"].get("order", "hwl")
+        # BEV-seg map GT (reference: camera_only/
+        # intermediate_fusion_dataset.py:176-197): load the ego's
+        # bev_{dynamic,static,lane,visibility_corp}.png rasters when the
+        # config opts in via add_data_extension
+        self.load_bev_maps = bool(params.get("add_data_extension"))
+        self.visible = params["train_params"].get("visible", False)
+        self.seg_gt_size = int(params["postprocess"].get("seg_gt_size",
+                                                         128))
 
         # communication impairment simulator (reference:
         # opencood/data_utils/datasets/basedataset.py:453-507): 'sim'
@@ -240,10 +256,12 @@ class HeteroCooperativeDataset:
             # communication delay: non-ego agents send an older frame
             cav_stamps = list(cavs[cav].keys())
             eff_ts = ts
+            delay_frames = 0
             if ci > 0 and self.async_frames:
-                pos = max(cav_stamps.index(ts) - self.async_frames, 0) \
-                    if ts in cav_stamps else 0
+                cur = cav_stamps.index(ts) if ts in cav_stamps else 0
+                pos = max(cur - self.async_frames, 0)
                 eff_ts = cav_stamps[pos]
+                delay_frames = cur - pos
             if eff_ts not in cavs[cav]:
                 continue
             meta = load_frame_yaml(cavs[cav][eff_ts]["yaml"])
@@ -283,10 +301,19 @@ class HeteroCooperativeDataset:
             frame["mode"][slot] = self.modalities[si][
                 min(ci, self.modalities[si].shape[0] - 1), ts_index]
             frame["agent_mask"][slot] = 1
+            # (v/30, dt frames, infra) — RSUs have negative cav ids
+            frame["prior_encoding"][slot] = (
+                float(meta.get("ego_speed", 0.0)) / 30.0,
+                float(delay_frames),
+                1.0 if int(cav) < 0 else 0.0,
+            )
             frame["transformation_matrix"][slot] = T.pose_to_pose(
                 noisy_pose, ego_pose).astype(np.float32)
             frame["_poses"].append(noisy_pose)
             slot += 1
+
+        if self.load_bev_maps:
+            frame.update(self._load_bev_gt(cavs[cav_list[0]][ts]))
 
         poses = frame.pop("_poses")
         frame["pairwise_t_matrix"][:] = T.pairwise_transforms(
@@ -300,13 +327,61 @@ class HeteroCooperativeDataset:
         frame["object_ids"] = list(objects.keys())[: self.max_objects]
         return frame
 
-    def seg_labels(self, frame: dict, grid_hw) -> np.ndarray:
-        """Dynamic-map GT rasterized from the frame's boxes."""
+    def _load_bev_gt(self, files: dict) -> dict:
+        """Ego-frame BEV map GT from the on-disk rasters (reference:
+        camera_bev_postprocessor.py generate_label/merge_label): any
+        nonzero pixel is class 1; static merges road (1) + lane (2).
+        Resized to a fixed seg_gt_size for static shapes."""
+        import cv2
+
+        s = self.seg_gt_size
+
+        def binarize(name):
+            path = files["bev_maps"][name]
+            if not os.path.exists(path):
+                return None
+            img = cv2.imread(path)
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            img = cv2.resize(img, (s, s),
+                             interpolation=cv2.INTER_NEAREST)
+            return (img > 0).astype(np.uint8)
+
+        dyn = binarize("bev_visibility_corp" if self.visible
+                       else "bev_dynamic")
+        road = binarize("bev_static")
+        lane = binarize("bev_lane")
+        out = {"gt_dynamic": np.zeros((s, s), np.uint8),
+               "gt_static": np.zeros((s, s), np.uint8),
+               "has_map_gt": np.float32(0.0)}
+        if dyn is not None:
+            out["gt_dynamic"] = dyn
+            out["has_map_gt"] = np.float32(1.0)
+        if road is not None:
+            static = road.copy()
+            if lane is not None:
+                static[lane == 1] = 2
+            out["gt_static"] = static
+        return out
+
+    def seg_labels(self, frame: dict, grid_hw) -> dict:
+        """Seg GT dict at the head's grid: map rasters when the frame
+        carries them, otherwise the dynamic map rasterized from boxes."""
+        h, w = grid_hw
+        if "gt_dynamic" in frame and float(
+                np.asarray(frame.get("has_map_gt", 0))) > 0:
+            def down(m):
+                yi = (np.arange(h) * m.shape[0] // h)
+                xi = (np.arange(w) * m.shape[1] // w)
+                return m[np.ix_(yi, xi)]
+
+            return {"dynamic_seg": down(np.asarray(frame["gt_dynamic"])),
+                    "static_seg": down(np.asarray(frame["gt_static"]))}
+
         from ..models.seg_head import rasterize_boxes_to_mask
 
         boxes = frame["object_bbx_center"][frame["object_bbx_mask"] > 0]
-        return rasterize_boxes_to_mask(boxes, self.lidar_range, grid_hw,
-                                       self.order)
+        return {"dynamic_seg": rasterize_boxes_to_mask(
+            boxes, self.lidar_range, grid_hw, self.order)}
 
     def early_fusion_frame(self, idx: int) -> dict:
         """Early fusion: every CAV's points projected into the ego frame
@@ -384,6 +459,9 @@ def _empty_frame(max_cav, max_points, image_size, max_objects) -> dict:
         "extrinsics": np.tile(eye4, (max_cav, 4, 1, 1)),
         "mode": np.zeros(max_cav, np.int32),
         "agent_mask": np.zeros(max_cav, np.float32),
+        # (velocity/30, time-delay frames, is-infrastructure) per CAV
+        # (reference: mixed/intermediate_fusion_dataset.py:386-388)
+        "prior_encoding": np.zeros((max_cav, 3), np.float32),
         "pairwise_t_matrix": np.tile(eye4, (max_cav, max_cav, 1, 1)),
         "transformation_matrix": np.tile(eye4, (max_cav, 1, 1)),
         "object_bbx_center": np.zeros((max_objects, 7), np.float32),

@@ -162,6 +162,9 @@ def make_hetero_batch(
             intrinsics[i, :, 1, 1] = f
             intrinsics[i, :, :2, 2] = image_size / 2
 
+        prior = np.zeros((max_cav, 3), np.float32)
+        prior[:num_agents, 0] = rng.uniform(0, 1, num_agents)  # v/30
+        prior[1:num_agents, 1] = rng.integers(0, 3, max(num_agents - 1, 0))
         gt_ego = vehicles_in_agent_frame(vehicles, ego_pose, lidar_range)
         gt_padded = np.zeros((max_objects, 7), np.float32)
         gt_mask = np.zeros(max_objects, np.float32)
@@ -178,6 +181,7 @@ def make_hetero_batch(
                 "extrinsics": extrinsics,
                 "mode": mode,
                 "agent_mask": agent_mask,
+                "prior_encoding": prior,
                 "pairwise_t_matrix": pairwise,
                 "transformation_matrix": transforms_to_ego,
                 "object_bbx_center": gt_padded,

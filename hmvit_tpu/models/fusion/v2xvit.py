@@ -135,18 +135,50 @@ class PyramidWindowAttention(nn.Module):
 
 
 class V2XTransformer(nn.Module):
-    """Full V2X-ViT fusion block stack; returns the fused ego map."""
+    """Full V2X-ViT fusion block stack; returns the fused ego map.
+
+    With ``prior_encoding`` (B, L, 3) = (velocity/30, time-delay frames,
+    infra) the communication context becomes model input (reference:
+    point_pillar_transformer.py:77-107 concatenates the channels;
+    the v2xt hypes declare use_RTE which this fork's torch code drops —
+    implemented here as intended):
+      * the 3 channels are concatenated per pixel and projected back,
+      * the time delay indexes a learned relative-temporal-encoding
+        (RTE) embedding added per agent,
+      * infrastructure agents form a THIRD node type for the HGT
+        relation weights (type = 2), as in the V2X-ViT paper.
+    """
     dim: int
     depth: int = 1
     heads: int = 8
     windows: tuple = (4, 8)
     discrete_ratio: float = 0.4
     downsample_rate: float = 4.0
+    max_delay: int = 10  # RTE table size (100 ms frames)
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
-                 deterministic: bool = True):
+                 deterministic: bool = True, prior_encoding=None):
         b, l, h, w, c = x.shape
+        num_types = 2
+        if prior_encoding is not None:
+            # (v, dt, infra): concat + project, RTE delay embedding,
+            # infra as the third HGT node type
+            prior = jnp.broadcast_to(
+                prior_encoding[:, :, None, None, :], (b, l, h, w, 3)
+            ).astype(x.dtype)
+            x = nn.Dense(self.dim, name="prior_proj")(
+                jnp.concatenate([x, prior], axis=-1))
+            rte = self.param("rte_embedding",
+                             nn.initializers.normal(0.02),
+                             (self.max_delay + 1, self.dim))
+            dt = jnp.clip(prior_encoding[:, :, 1].astype(jnp.int32),
+                          0, self.max_delay)
+            x = x + rte[dt][:, :, None, None, :]
+            is_infra = prior_encoding[:, :, 2] > 0.5
+            mode = jnp.where(is_infra, 2, mode)
+            num_types = 3
+
         # STTF: warp every agent into the ego frame once
         t = pairwise[:, :, 0]
         x = warp_bev_nhwc(x, t, self.discrete_ratio, self.downsample_rate)
@@ -157,11 +189,14 @@ class V2XTransformer(nn.Module):
         mask = jnp.moveaxis(mask, -1, 1)  # (B, L, H, W)
 
         for _ in range(self.depth):
-            a = HGTCavAttention(self.dim, self.heads)(
-                HeteroLayerNorm()(x, mode), mode, mask, deterministic)
+            a = HGTCavAttention(self.dim, self.heads,
+                                num_types=num_types)(
+                HeteroLayerNorm(num_types=num_types)(x, mode), mode, mask,
+                deterministic)
             x = x + a * mask[..., None]
-            x = x + HeteroFeedForward(self.dim, num_types=2)(
-                HeteroLayerNorm()(x, mode), mode, deterministic)
+            x = x + HeteroFeedForward(self.dim, num_types=num_types)(
+                HeteroLayerNorm(num_types=num_types)(x, mode), mode,
+                deterministic)
             x = x + PyramidWindowAttention(self.dim, self.windows,
                                            self.heads)(nn.LayerNorm()(x))
             ff = nn.Dense(self.dim)(

@@ -112,9 +112,14 @@ class HMViT(nn.Module):
         if cfg.get("fusion_override"):
             from .fusion import make_fusion
 
-            ego = make_fusion(cfg["fusion_override"], c,
-                              cfg.get("spatial_transform", {}))(
-                x, mode, pairwise, agent_mask)
+            name = cfg["fusion_override"]
+            fusion = make_fusion(name, c, cfg.get("spatial_transform", {}))
+            kwargs = {}
+            if name in ("v2xvit", "v2xt") and "prior_encoding" in batch:
+                # (velocity, time delay, infra) context — V2X-ViT only,
+                # matching the reference's consumption pattern
+                kwargs["prior_encoding"] = batch["prior_encoding"]
+            ego = fusion(x, mode, pairwise, agent_mask, **kwargs)
         else:
             ego = HeteroFusion(cfg["hetero_fusion"], name="fusion")(
                 x, mode, pairwise, agent_mask, deterministic=not train

@@ -37,7 +37,7 @@ def seg_loss(output: dict, labels: dict, d_weights: float = 75.0,
     parts = {}
     for key, pos_w in (("dynamic_seg", d_weights), ("static_seg",
                                                     s_weights)):
-        if key not in output:
+        if key not in output or key not in labels:
             continue
         logits = output[key]  # (B, H, W, C)
         target = labels[key]  # (B, H, W) int

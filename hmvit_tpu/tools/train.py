@@ -186,22 +186,28 @@ def main(argv=None):
 
     seg_grid = None
     if seg_task:
-        hd = model.apply(
+        out0 = model.apply(
             {"params": state.params,
              "batch_stats": state.batch_stats},
-            example, train=False)["dynamic_seg"].shape[1:3]
+            example, train=False)
+        key0 = "dynamic_seg" if "dynamic_seg" in out0 else "static_seg"
+        hd = out0[key0].shape[1:3]
         seg_grid = (int(hd[0]), int(hd[1]))
 
     def make_labels(batch):
         if seg_task:
-            masks = np.stack([
+            per_frame = [
                 dataset.seg_labels(
-                    {"object_bbx_center": batch["object_bbx_center"][i],
-                     "object_bbx_mask": batch["object_bbx_mask"][i]},
+                    {k: batch[k][i]
+                     for k in ("object_bbx_center", "object_bbx_mask",
+                               "gt_dynamic", "gt_static", "has_map_gt")
+                     if k in batch},
                     seg_grid)
                 for i in range(batch["object_bbx_center"].shape[0])
-            ])
-            return {"dynamic_seg": jnp.asarray(masks, jnp.int32)}
+            ]
+            return {k: jnp.asarray(np.stack([f[k] for f in per_frame]),
+                                   jnp.int32)
+                    for k in per_frame[0]}
         return labels_for_batch(pp, anchors, batch)
 
     def make_batch(idxs):

@@ -97,6 +97,14 @@ def test_wild_settings(tmp_path):
     assert not np.allclose(frame_clean["transformation_matrix"][1],
                            frame_delayed["transformation_matrix"][1])
 
+    # prior_encoding carries (v/30, dt frames, infra) per CAV
+    np.testing.assert_allclose(frame_clean["prior_encoding"][:2, 0],
+                               5.0 / 30.0)
+    assert frame_clean["prior_encoding"][1, 1] == 0.0
+    assert frame_delayed["prior_encoding"][1, 1] == 2.0  # delayed frames
+    assert frame_delayed["prior_encoding"][0, 1] == 0.0  # ego never lags
+    np.testing.assert_allclose(frame_clean["prior_encoding"][:, 2], 0.0)
+
     # 'real' async: latency derived from payload/bandwidth
     p = dict(base_params,
              wild_setting={"async": True, "async_mode": "real",
@@ -115,3 +123,53 @@ def test_wild_settings(tmp_path):
                            frame_noisy["transformation_matrix"][1])
     np.testing.assert_allclose(frame_noisy["transformation_matrix"][0],
                                np.eye(4), atol=1e-5)
+
+
+def test_bev_map_gt_loading(tmp_path):
+    """Map-raster seg GT: fixture pngs -> loader gt_dynamic/gt_static
+    (road=1, lane=2) -> seg_labels dict at the head grid
+    (reference: camera_only/intermediate_fusion_dataset.py:176-197,
+    camera_bev_postprocessor.py generate_label/merge_label)."""
+    from hmvit_tpu.data.fixture import write_mini_opv2v
+    from hmvit_tpu.data.opv2v import HeteroCooperativeDataset
+
+    root = str(tmp_path / "mini")
+    write_mini_opv2v(root, num_scenarios=1, num_cavs=2, num_frames=2,
+                     image_size=32, max_points=1024, num_vehicles=5)
+    params = {
+        "train_params": {"max_cav": 2},
+        "camera_to_lidar_ratio": 1.0,
+        "ego_mode": "camera",
+        "add_data_extension": ["bev_dynamic.png", "bev_static.png",
+                               "bev_lane.png", "bev_visibility_corp.png"],
+        "preprocess": {
+            "cav_lidar_range": [-50, -50, -3, 50, 50, 1],
+            "args": {"camera_preprocess": {"args": {"resize_x": 32,
+                                                    "resize_y": 32}}},
+        },
+        "postprocess": {"max_num": 30, "order": "hwl",
+                        "seg_gt_size": 64},
+        "root_dir": root, "validate_dir": root,
+    }
+    ds = HeteroCooperativeDataset(params, train=False, max_points=1024)
+    frame = ds[0]
+    assert frame["has_map_gt"] == 1.0
+    assert frame["gt_dynamic"].shape == (64, 64)
+    assert set(np.unique(frame["gt_static"])) <= {0, 1, 2}
+    assert (frame["gt_static"] == 1).any(), "road band missing"
+    assert (frame["gt_static"] == 2).any(), "lane line missing"
+    assert frame["gt_dynamic"].sum() > 0, "vehicles missing from map"
+
+    labels = ds.seg_labels(frame, (16, 16))
+    assert labels["dynamic_seg"].shape == (16, 16)
+    assert labels["static_seg"].shape == (16, 16)
+    assert (labels["static_seg"] > 0).any()
+
+    # without the extension config, detection frames stay map-free
+    params2 = {k: v for k, v in params.items()
+               if k != "add_data_extension"}
+    ds2 = HeteroCooperativeDataset(params2, train=False, max_points=1024)
+    assert "gt_dynamic" not in ds2[0]
+    # and box-raster fallback still provides dynamic labels
+    lab2 = ds2.seg_labels(ds2[0], (16, 16))
+    assert "dynamic_seg" in lab2 and "static_seg" not in lab2

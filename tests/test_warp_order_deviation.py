@@ -158,6 +158,7 @@ def test_project_before_warp_deviation_is_bounded():
         "interior windows must match exactly")
 
     # boundary deviation: bounded and small relative to signal
+    # (measured on this fixture: max ~2.1% of mean |signal|, mean ~0.3%)
     rel = err.max() / scale
-    assert rel < 0.35, f"boundary deviation blew up: {rel:.3f}"
+    assert rel < 0.05, f"boundary deviation blew up: {rel:.3f}"
     assert (err.mean() / scale) < 0.01
