@@ -1,0 +1,328 @@
+"""Generate the full hypes corpus, mirroring the reference's config
+families (reference: opencood/hypes_yaml/{opcamera,opv2v,opcl,v2xt}/).
+
+Run: python -m hmvit_tpu.config.generate_hypes
+Writes YAMLs under hmvit_tpu/config/hypes/<family>/; every model
+core_method in the registry gets at least one runnable config
+(tests/test_config_corpus.py builds and forwards each of them).
+"""
+from __future__ import annotations
+
+import os
+
+import yaml
+
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "hypes")
+
+RANGE = [-102.4, -102.4, -3, 102.4, 102.4, 1]
+CAM_RANGE = [-51.2, -51.2, -3, 51.2, 51.2, 1]
+PILLAR_VOXEL = [0.4, 0.4, 4]
+IMAGENET = {"mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225]}
+
+
+def preprocess_block(voxel, rng):
+    return {
+        "core_method": "CamLiPreprocessor",
+        "cav_lidar_range": rng,
+        "args": {
+            "camera_preprocess": {
+                "core_method": "RgbPreprocessor",
+                "args": {"bgr2rgb": True, "resize_x": 512,
+                         "resize_y": 512, **IMAGENET},
+                "cav_lidar_range": rng,
+            },
+            "lidar_preprocess": {
+                "core_method": "DevicePillarVoxelizer",
+                "args": {"voxel_size": voxel, "max_points_per_voxel": 32,
+                         "max_points": 60000},
+                "cav_lidar_range": rng,
+            },
+        },
+    }
+
+
+def postprocess_block(rng, stride=4):
+    return {
+        "core_method": "VoxelPostprocessor",
+        "anchor_args": {"cav_lidar_range": rng, "l": 3.9, "w": 1.6,
+                        "h": 1.56, "r": [0, 90],
+                        "feature_stride": stride, "num": 2},
+        "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
+                        "score_threshold": 0.27},
+        "order": "hwl", "max_num": 100, "nms_thresh": 0.15,
+    }
+
+
+def lidar_args(voxel, rng, grid):
+    return {
+        "voxel_size": voxel,
+        "lidar_range": rng,
+        "anchor_number": 2,
+        "pillar_vfe": {"use_norm": True, "with_distance": False,
+                       "use_absolute_xyz": True, "num_filters": [64]},
+        "point_pillar_scatter": {"num_features": 64, "grid_size": grid},
+        "base_bev_backbone": {
+            "layer_nums": [3, 5, 8], "layer_strides": [2, 2, 2],
+            "num_filters": [64, 128, 256],
+            "upsample_strides": [1, 2, 4],
+            "num_upsample_filter": [128, 128, 128]},
+        "shrink_header": {"kernal_size": [3], "stride": [2],
+                          "padding": [1], "dim": [256], "input_dim": 384},
+    }
+
+
+def camera_args(encoder):
+    base = {"encoder": encoder, "dim": 128, "bev_size": 32,
+            "out_dim": 256, "num_blocks": 2, "decoder_layers": 2,
+            "img_size": 512, "encoder_channels": [32, 64, 128, 128]}
+    if encoder == "bevformer":
+        base.update(dim=256, bev_size=128, num_layers=3,
+                    backbone="resnet50")
+    return base
+
+
+def grid_of(rng, voxel):
+    return [round((rng[3] - rng[0]) / voxel[0]),
+            round((rng[4] - rng[1]) / voxel[1]),
+            round((rng[5] - rng[2]) / voxel[2])]
+
+
+def base(name, model, loss, parser, fusion_ds="IntermediateFusionDataset",
+         rng=RANGE, voxel=PILLAR_VOXEL, ratio=0.0, ego="lidar",
+         extra=None):
+    cfg = {
+        "name": name,
+        "root_dir": "/data/opv2v/train",
+        "validate_dir": "/data/opv2v/validate",
+        "camera_to_lidar_ratio": ratio,
+        "ego_mode": ego,
+        "yaml_parser": [parser],
+        "train_params": {"batch_size": 1, "epoches": 60, "eval_freq": 2,
+                         "save_freq": 1, "max_cav": 5},
+        "fusion": {"core_method": fusion_ds, "args": []},
+        "data_augment": [],
+        "preprocess": preprocess_block(voxel, rng),
+        "postprocess": postprocess_block(rng),
+        "model": model,
+        "loss": loss,
+        "optimizer": {"core_method": "AdamW", "lr": 2e-4,
+                      "args": {"eps": 1e-10, "weight_decay": 1e-2}},
+        "lr_scheduler": {"core_method": "cosineannealwarm", "epoches": 60,
+                         "warmup_lr": 2e-5, "warmup_epoches": 10,
+                         "lr_min": 5e-6},
+    }
+    if extra:
+        cfg.update(extra)
+    return cfg
+
+
+DET_LOSS = {"core_method": "point_pillar_loss",
+            "args": {"cls_weight": 1.0, "reg": 2.0}}
+SEG_LOSS = {"core_method": "vanilla_seg_loss",
+            "args": {"d_weights": 75.0, "s_weights": 15.0}}
+SEG_EXT = {"add_data_extension": ["bev_dynamic.png", "bev_static.png",
+                                  "bev_lane.png",
+                                  "bev_visibility_corp.png"]}
+
+HETERO_FUSION = {
+    "num_iters": 2,
+    "hetero_fusion_block": {
+        "spatial_transform": {"downsample_rate": 4,
+                              "voxel_size": PILLAR_VOXEL},
+        "architect_mode": "sequential",
+        "input_dim": 256, "mlp_dim": 256, "window_size": 8,
+        "dim_head": 32, "drop_out": 0.0,
+        "compute_dtype": "bfloat16",
+    },
+}
+
+
+def write(group, name, cfg):
+    d = os.path.join(HERE, group)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{name}.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+
+def gen_opv2v():
+    """Lidar-only families x {early, late, intermediate}."""
+    fams = {
+        "point_pillar": (PILLAR_VOXEL, "load_point_pillar_params"),
+        "voxelnet": ([0.4, 0.4, 0.4], "load_voxel_params"),
+        "second": ([0.4, 0.4, 0.4], "load_voxel_params"),
+        "pixor": ([0.4, 0.4, 0.8], "load_voxel_params"),
+    }
+    core = {"voxelnet": "voxel_net"}
+    for fam, (voxel, parser) in fams.items():
+        cm = core.get(fam, fam)
+        grid = grid_of(RANGE, voxel)
+        largs = lidar_args(voxel, RANGE, grid)
+        if fam != "point_pillar":
+            largs["grid_size"] = grid
+            largs["vfe_filters"] = 32
+        for mode, ds in (("early_fusion", "EarlyFusionDataset"),
+                         ("late_fusion", "LateFusionDataset")):
+            model = {"core_method": cm,
+                     "args": {"anchor_number": 2, "lidar": largs}}
+            write("opv2v", f"{fam}_{mode}",
+                  base(f"{fam}_{mode}", model, DET_LOSS, parser, ds,
+                       voxel=voxel))
+        inter = {"core_method": f"{cm}_intermediate",
+                 "args": {"anchor_number": 2, "lidar": largs,
+                          "spatial_transform": {
+                              "downsample_rate": 4,
+                              "voxel_size": voxel}}}
+        write("opv2v", f"{fam}_intermediate_fusion",
+              base(f"{fam}_intermediate_fusion", inter, DET_LOSS, parser,
+                   voxel=voxel))
+
+
+def gen_opcamera():
+    """Camera-only segmentation families x fusions x {dynamic, static}."""
+    cam_pp = postprocess_block(CAM_RANGE)
+    cam_pp["seg_gt_size"] = 256
+
+    def cam_base(name, model, extra=None):
+        cfg = base(name, model, SEG_LOSS, "load_camera_params",
+                   rng=CAM_RANGE, ratio=1.0, ego="camera",
+                   extra={**SEG_EXT, **(extra or {})})
+        cfg["postprocess"] = dict(cam_pp)
+        return cfg
+
+    singles = {
+        "cvt": ("cvt_seg", "cvt"),
+        "corpbevt_single": ("cvt_seg", "fax"),
+        "view_parse_network": ("view_parse_network", "vpn"),
+        "view_parse_network_ms": ("view_parse_network_ms", "vpn_ms"),
+        "bev_swap": ("bev_swap", "bev_swap"),
+    }
+    for fname, (cm, enc) in singles.items():
+        for tgt, suffix in (("dynamic", ""), ("static", "_static")):
+            model = {"core_method": cm,
+                     "args": {"target": tgt,
+                              "camera": camera_args(enc)}}
+            write("opcamera", f"{fname}{suffix}",
+                  cam_base(f"{fname}{suffix}", model))
+
+    coop = {
+        "cvt_att_fuse": "cross_view_transformer_att_fuse",
+        "cvt_fcooper": "cross_view_transformer_fcooper",
+        "cvt_disconet": "cross_view_transformer_disconet",
+        "cvt_swap_fuse": "cross_view_transformer_swap_fuse",
+        "cvt_v2vnet": "cross_view_transformer_v2vnet",
+        "corpbevt": "corpbevt",
+        "view_parse_network_att_fuse": "view_parse_network_att_fuse",
+        "view_parse_network_fcooper": "view_parse_network_fcooper",
+        "view_parse_network_swap_fuse": "view_parse_network_swap_fuse",
+        "view_parse_network_v2vnet": "view_parse_network_v2vnet",
+    }
+    for fname, cm in coop.items():
+        enc = "vpn" if "view_parse" in cm else (
+            "fax" if cm == "corpbevt" else "cvt")
+        for tgt, suffix in (("dynamic", ""), ("static", "_static")):
+            model = {"core_method": cm,
+                     "args": {"task": "seg", "target": tgt,
+                              "anchor_number": 2,
+                              "camera": camera_args(enc),
+                              "spatial_transform": {
+                                  "downsample_rate": 4,
+                                  "voxel_size": PILLAR_VOXEL}}}
+            write("opcamera", f"{fname}{suffix}",
+                  cam_base(f"{fname}{suffix}", model))
+
+
+def gen_opcl():
+    """Mixed camera+lidar families (the HM-ViT home turf)."""
+    grid = grid_of(RANGE, PILLAR_VOXEL)
+    largs = lidar_args(PILLAR_VOXEL, RANGE, grid)
+
+    def mixed_model(cm, camera_enc, fusion_extra=None):
+        args = {"anchor_number": 2,
+                "camera": camera_args(camera_enc),
+                "lidar": largs,
+                "compression": 0,
+                "spatial_transform": {"downsample_rate": 4,
+                                      "voxel_size": PILLAR_VOXEL},
+                "hetero_decoder": {"input_dim": 256, "num_layer": 2,
+                                   "num_ch_dec": [256, 256],
+                                   "anchor_number": 2}}
+        if fusion_extra:
+            args.update(fusion_extra)
+        return {"core_method": cm, "args": args}
+
+    for enc in ("fax", "bevformer"):
+        write("opcl", f"{enc}_point_pillar_hetero",
+              base(f"{enc}_point_pillar_hetero",
+                   mixed_model(f"{enc}_point_pillar_hetero", enc,
+                               {"hetero_fusion": HETERO_FUSION}),
+                   DET_LOSS, "load_camera_point_pillar_params",
+                   ratio=0.5, ego="mixed"))
+        for fuse in ("att_fuse", "v2vnet", "v2xt", "fax"):
+            cm = f"{enc}_point_pillar_{fuse}"
+            write("opcl", cm,
+                  base(cm, mixed_model(cm, enc), DET_LOSS,
+                       "load_camera_point_pillar_params",
+                       ratio=0.5, ego="mixed"))
+    for cm in ("bevformer_point_pillar_disconet",
+               "fax_point_pillar_fcooper",
+               "point_pillar_cross_view_transformer_f_cooper"):
+        enc = "bevformer" if cm.startswith("bevformer") else (
+            "cvt" if "cross_view" in cm else "fax")
+        write("opcl", cm,
+              base(cm, mixed_model(cm, enc), DET_LOSS,
+                   "load_camera_point_pillar_params",
+                   ratio=0.5, ego="mixed"))
+    # per-modality late fusion checkpoints (mixed no/late fusion eval)
+    for name, enc, ratio, ego in (
+            ("fax_late_fusion", "fax", 1.0, "camera"),
+            ("bevformer_late_fusion", "bevformer", 1.0, "camera"),
+            ("lidar_point_pillar_late_fusion", "fax", 0.0, "lidar")):
+        cm = "point_pillar" if ratio == 0.0 else "cvt_nofusion"
+        model = ({"core_method": "point_pillar",
+                  "args": {"anchor_number": 2, "lidar": largs}}
+                 if ratio == 0.0 else
+                 {"core_method": "cross_view_transformer",
+                  "args": {"anchor_number": 2,
+                           "camera": camera_args(enc)}})
+        write("opcl", name,
+              base(name, model, DET_LOSS,
+                   "load_camera_point_pillar_params",
+                   fusion_ds="LateFusionDataset", ratio=ratio, ego=ego))
+
+
+def gen_v2xt():
+    """V2X-ViT lidar family."""
+    grid = grid_of(RANGE, PILLAR_VOXEL)
+    largs = lidar_args(PILLAR_VOXEL, RANGE, grid)
+    for name, cm, ds in (
+            ("point_pillar_early_fusion", "point_pillar",
+             "EarlyFusionDataset"),
+            ("point_pillar_late_fusion", "point_pillar",
+             "LateFusionDataset"),
+            ("point_pillar_fcooper", "point_pillar_fcooper",
+             "IntermediateFusionDataset"),
+            ("point_pillar_opv2v", "point_pillar_opv2v",
+             "IntermediateFusionDataset"),
+            ("point_pillar_intermediate", "point_pillar_intermediate",
+             "IntermediateFusionDataset"),
+            ("point_pillar_transformer", "point_pillar_transformer",
+             "IntermediateFusionDataset")):
+        args = {"anchor_number": 2, "lidar": largs,
+                "spatial_transform": {"downsample_rate": 4,
+                                      "voxel_size": PILLAR_VOXEL}}
+        write("v2xt", name,
+              base(name, {"core_method": cm, "args": args}, DET_LOSS,
+                   "load_point_pillar_params", ds,
+                   extra={"wild_setting": {
+                       "async": True, "async_mode": "sim",
+                       "async_overhead": 1, "loc_err": True,
+                       "xyz_std": 0.2, "ryp_std": 0.2}}))
+
+
+if __name__ == "__main__":
+    gen_opv2v()
+    gen_opcamera()
+    gen_opcl()
+    gen_v2xt()
+    n = sum(len(fs) for _, _, fs in os.walk(HERE))
+    print(f"hypes corpus generated under {HERE} ({n} files)")

@@ -123,7 +123,10 @@ def _grid_size(params: dict) -> list[int]:
 @register_parser
 def load_point_pillar_params(params: dict) -> dict:
     grid = _grid_size(params)
-    params["model"]["args"]["point_pillar_scatter"]["grid_size"] = grid
+    margs = params["model"]["args"]
+    margs.setdefault("point_pillar_scatter", {})["grid_size"] = grid
+    if "lidar" in margs and "point_pillar_scatter" in margs["lidar"]:
+        margs["lidar"]["point_pillar_scatter"]["grid_size"] = grid
     return _fill_anchor_grid(params)
 
 
@@ -173,5 +176,5 @@ def load_bev_params(params: dict) -> dict:
 
 @register_parser
 def load_camera_params(params: dict) -> dict:
-    """Camera-only families need no derived grid; kept for config parity."""
-    return params
+    """Camera-only families: anchors still derived for detection eval."""
+    return _fill_anchor_grid(params)

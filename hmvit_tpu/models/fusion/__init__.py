@@ -13,6 +13,13 @@ from .swap import SwapFusionEncoder  # noqa: F401
 from .v2xvit import V2XTransformer  # noqa: F401
 
 
+def _dim_head(dim: int) -> int:
+    for d in (32, 16, 8, 4, 2, 1):
+        if dim % d == 0:
+            return d
+    return 1
+
+
 def make_fusion(name: str, dim: int, spatial: dict):
     """Instantiate a fusion module by its registry name."""
     ratio = spatial.get("voxel_size", [0.4])[0]
@@ -26,7 +33,8 @@ def make_fusion(name: str, dim: int, spatial: dict):
     if name == "v2vnet":
         return V2VNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
     if name in ("swap", "fax", "cobevt"):
-        return SwapFusionEncoder(dim, discrete_ratio=ratio,
+        return SwapFusionEncoder(dim, dim_head=_dim_head(dim),
+                                 discrete_ratio=ratio,
                                  downsample_rate=ds)
     if name in ("v2xvit", "v2xt"):
         return V2XTransformer(dim, discrete_ratio=ratio, downsample_rate=ds)

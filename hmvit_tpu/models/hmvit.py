@@ -35,10 +35,14 @@ def make_camera_encoder(cfg: dict, name: str = "camera_encoder"):
         from .bevformer import BEVFormerEncoder
 
         return BEVFormerEncoder(cfg, name=name)
-    if kind == "vpn":
+    if kind in ("vpn", "vpn_ms"):
         from .vpn import ViewParseNetwork
 
         return ViewParseNetwork(cfg, name=name)
+    if kind == "bev_swap":
+        from .bev_swap import BEVSwapEncoder
+
+        return BEVSwapEncoder(cfg, name=name)
     raise ValueError(f"unknown camera encoder {kind!r}")
 
 

@@ -130,6 +130,63 @@ class BEVBackbone(nn.Module):
         return jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
 
 
+def pixel_agent_attention(x, agent_mask):
+    """Per-pixel scaled-dot-product attention across agents, returning
+    the ego row (reference: opencood/models/fusion_modules/
+    self_attn.py:36-52 — no learned projections, query = every agent,
+    agent 0's row kept).  x: (B, L, H, W, C), agent_mask: (B, L)."""
+    c = x.shape[-1]
+    sim = jnp.einsum("bihwc,bjhwc->bhwij", x[:, :1], x,
+                     preferred_element_type=jnp.float32) / jnp.sqrt(
+        jnp.asarray(c, jnp.float32))
+    sim = jnp.where(agent_mask[:, None, None, None, :] > 0, sim, -1e9)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhwij,bjhwc->bihwc", attn.astype(x.dtype), x)
+    return out[:, 0]
+
+
+class AttBEVBackbone(nn.Module):
+    """BEV backbone with PER-STAGE agent fusion (reference:
+    opencood/models/backbones/att_bev_backbone.py:40-145): each conv
+    stage's output is fused across agents by per-pixel attention and
+    the FUSED map feeds that stage's upsample branch, while the
+    unfused multi-agent maps continue through the next stage.  Inputs
+    must already be ego-aligned (the reference's intermediate lidar
+    datasets project raw points into the ego frame before voxelizing).
+    Output is single-agent (the ego's fused multi-scale concat)."""
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[int]
+    num_upsample_filters: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, agent_mask, train: bool = False):
+        # x: (B, L, H, W, C) ego-aligned per-agent BEV maps
+        b, l = x.shape[:2]
+        flat = x.reshape(b * l, *x.shape[2:])
+        ups = []
+        for i, n_layers in enumerate(self.layer_nums):
+            flat = ConvBNReLU(self.num_filters[i],
+                              stride=self.layer_strides[i])(flat, train)
+            for _ in range(n_layers):
+                flat = ConvBNReLU(self.num_filters[i])(flat, train)
+            stage = flat.reshape(b, l, *flat.shape[1:])
+            fused = pixel_agent_attention(stage, agent_mask)
+            s = self.upsample_strides[i]
+            if s >= 1:
+                u = nn.ConvTranspose(self.num_upsample_filters[i], (s, s),
+                                     strides=(s, s), use_bias=False)(fused)
+            else:
+                inv = int(round(1 / s))
+                u = nn.Conv(self.num_upsample_filters[i], (inv, inv),
+                            strides=(inv, inv), use_bias=False)(fused)
+            u = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             momentum=0.99)(u)
+            ups.append(nn.relu(u))
+        return jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+
+
 class PointPillarEncoder(nn.Module):
     """points (N, P, 4) + mask (N, P) -> BEV features (N, H', W', C)."""
     config: dict

@@ -93,10 +93,57 @@ class CooperativeDetector(nn.Module):
         b, l = mode.shape
 
         if self.modality == "lidar":
-            points = batch["points"].reshape(b * l,
-                                             *batch["points"].shape[2:])
+            points = batch["points"]
+            if self.fusion_name == "att_bev":
+                # reference intermediate-lidar semantics: raw points are
+                # projected into the EGO frame before voxelization
+                # (lidar_only/intermediate_fusion_dataset.py), so the
+                # per-stage backbone fusion needs no feature warp
+                t = batch["transformation_matrix"]  # (B, L, 4, 4)
+                xyz1 = jnp.concatenate(
+                    [points[..., :3], jnp.ones_like(points[..., :1])], -1)
+                xyz = jnp.einsum("blij,blpj->blpi", t, xyz1)[..., :3]
+                points = jnp.concatenate([xyz, points[..., 3:]], -1)
+            points = points.reshape(b * l, *points.shape[2:])
             pmask = batch["points_mask"].reshape(b * l, -1)
             kind = cfg.get("lidar_encoder", "point_pillar")
+            if self.fusion_name == "att_bev":
+                from .pillar_encoder import (
+                    AttBEVBackbone,
+                    PillarFeatureNet,
+                )
+
+                lcfg = cfg["lidar"]
+                bev = PillarFeatureNet(
+                    num_filters=lcfg["pillar_vfe"]["num_filters"],
+                    voxel_size=lcfg["voxel_size"],
+                    pc_range=lcfg["lidar_range"],
+                    grid_size=lcfg["point_pillar_scatter"]
+                    ["grid_size"][:2],
+                )(points, pmask, train)
+                bb = lcfg["base_bev_backbone"]
+                fused = AttBEVBackbone(
+                    layer_nums=bb["layer_nums"],
+                    layer_strides=bb["layer_strides"],
+                    num_filters=bb["num_filters"],
+                    upsample_strides=bb["upsample_strides"],
+                    num_upsample_filters=bb["num_upsample_filter"],
+                )(bev.reshape(b, l, *bev.shape[1:]), agent_mask, train)
+                if "shrink_header" in lcfg:
+                    from .layers import DownsampleConv
+
+                    sh = lcfg["shrink_header"]
+                    fused = DownsampleConv(
+                        kernel_sizes=sh["kernal_size"], dims=sh["dim"],
+                        strides=sh["stride"])(fused)
+                dec = cfg.get("decoder")
+                if dec:
+                    fused = NaiveDecoder(dec["num_layer"],
+                                         dec["num_ch_dec"],
+                                         use_upsample=False)(fused, train)
+                psm, rm = DetectionHead(cfg["anchor_number"])(fused)
+                return {"psm": psm.transpose(0, 3, 1, 2),
+                        "rm": rm.transpose(0, 3, 1, 2)}
             if kind == "point_pillar":
                 x = PointPillarEncoder(cfg["lidar"])(points, pmask, train)
             else:
@@ -136,6 +183,12 @@ class CooperativeDetector(nn.Module):
         if dec:
             fused = NaiveDecoder(dec["num_layer"], dec["num_ch_dec"],
                                  use_upsample=False)(fused, train)
+        if cfg.get("task") == "seg":
+            # cooperative BEV segmentation (the reference opcamera
+            # fusion families output map segmentation, not boxes)
+            from .seg_head import BevSegHead
+
+            return BevSegHead(cfg.get("target", "dynamic"))(fused)
         psm, rm = DetectionHead(cfg["anchor_number"])(fused)
         return {"psm": psm.transpose(0, 3, 1, 2),
                 "rm": rm.transpose(0, 3, 1, 2)}
@@ -148,7 +201,9 @@ _HETERO_NAMES = {
 _LIDAR_FUSIONS = {
     "point_pillar_fcooper": "fcooper",
     "point_pillar_opv2v": "att",
-    "point_pillar_intermediate": "att",
+    # per-stage agent fusion inside the BEV backbone (reference:
+    # point_pillar_intermediate.py + backbones/att_bev_backbone.py)
+    "point_pillar_intermediate": "att_bev",
     "point_pillar_v2vnet": "v2vnet",
     "point_pillar_disconet": "disconet",
     "point_pillar_swap": "swap",
@@ -163,6 +218,20 @@ _CAMERA_FUSIONS = {
     "cvt_disconet": "disconet",
     "corpbevt": "swap",
     "cvt_swap_fuse": "swap",
+    # reference core_method spellings (opencood/models/*.py filenames)
+    "cross_view_transformer_fcooper": "fcooper",
+    "cross_view_transformer_att_fuse": "att",
+    "cross_view_transformer_v2vnet": "v2vnet",
+    "cross_view_transformer_disconet": "disconet",
+    "cross_view_transformer_swap_fuse": "swap",
+}
+# VPN camera branch x cooperative fusion (reference:
+# view_parse_network_{att_fuse,fcooper,swap_fuse,v2vnet}.py)
+_VPN_FUSIONS = {
+    "view_parse_network_att_fuse": "att",
+    "view_parse_network_fcooper": "fcooper",
+    "view_parse_network_swap_fuse": "swap",
+    "view_parse_network_v2vnet": "v2vnet",
 }
 _MIXED_FUSIONS = {
     "fax_point_pillar_fcooper": "fcooper",
@@ -173,6 +242,14 @@ _MIXED_FUSIONS = {
     "bevformer_point_pillar_fax": "swap",
     "fax_point_pillar_v2xt": "v2xvit",
     "bevformer_point_pillar_v2xt": "v2xvit",
+    # remaining reference mixed wrappers
+    "bevformer_point_pillar_att_fuse": "att",
+    "bevformer_point_pillar_disconet": "disconet",
+    "bevformer_point_pillar_v2vnet": "v2vnet",
+    # CVT camera branch + pillar lidar branch + F-Cooper max fusion
+    # (reference: point_pillar_cross_view_transformer_f_cooper.py)
+    "point_pillar_cross_view_transformer_f_cooper": "fcooper",
+    "cross_view_transformer_point_pillar_fcooper": "fcooper",
 }
 _CAMERA_FUSIONS.update({
     "cvt_v2xt": "v2xvit",
@@ -191,6 +268,11 @@ def build_model(model_cfg: dict) -> nn.Module:
     if name in _HETERO_NAMES:
         return HMViT(args)
     if name in _MIXED_FUSIONS:
+        camera = dict(args.get("camera", {}))
+        if name.startswith(("point_pillar_cross_view_transformer",
+                            "cross_view_transformer_point_pillar")):
+            camera.setdefault("encoder", "cvt")
+        args = dict(args, camera=camera) if camera else args
         return HMViT(dict(args, fusion_override=_MIXED_FUSIONS[name]))
     if name == "point_pillar":
         return PointPillarDetector(args.get("lidar", args))
@@ -198,6 +280,21 @@ def build_model(model_cfg: dict) -> nn.Module:
         return CameraDetector(args)
     if name in ("cvt_seg", "corpbevt_seg", "bev_seg"):
         return CameraSegmentor(args)
+    if name in ("view_parse_network", "view_parse_network_ms",
+                "bev_swap"):
+        # camera-only seg families (reference: view_parse_network*.py,
+        # bev_swap.py); encoder selected through the camera config
+        camera = dict(args.get("camera", {}))
+        camera.setdefault(
+            "encoder",
+            "bev_swap" if name == "bev_swap"
+            else ("vpn_ms" if name.endswith("_ms") else "vpn"))
+        return CameraSegmentor(dict(args, camera=camera))
+    if name in _VPN_FUSIONS:
+        camera = dict(args.get("camera", {}))
+        camera.setdefault("encoder", "vpn")
+        return CooperativeDetector(dict(args, camera=camera), "camera",
+                                   _VPN_FUSIONS[name])
     if name in _LIDAR_FUSIONS:
         return CooperativeDetector(args, "lidar", _LIDAR_FUSIONS[name])
     if name in _CAMERA_FUSIONS:
