@@ -39,9 +39,16 @@ PROD_CFG = {
         "shrink_header": {"kernal_size": [3], "stride": [2], "padding": [1],
                           "dim": [256], "input_dim": 384},
     },
-    "camera": {"dim": 128, "bev_size": 32, "out_dim": 256, "num_blocks": 2,
-               "decoder_layers": 2,
-               "encoder_channels": (32, 64, 128, 128)},
+    # production camera branch: ResNet50 backbone (stride-8 features of
+    # the 4x 512^2 images) + BEVFormer-style planar-lift encoder at the
+    # reference's native 128^2 x 256 BEV (reference:
+    # opencood/hypes_yaml/opcl/subbevformer_resnet.py:24-41)
+    "camera": {"encoder": "bevformer", "lift": "planar",
+               "backbone": "resnet50", "id_pick": [2],
+               "dim": 256, "bev_size": 128, "out_dim": 256,
+               "num_layers": 3, "heads": 8, "window": 8,
+               "num_points_in_pillar": 4, "decoder_layers": 0,
+               "bev_range": 102.4},
     "compression": 0,
     "hetero_fusion": {
         "num_iters": 2,

@@ -76,8 +76,10 @@ def camera_args(encoder):
             "out_dim": 256, "num_blocks": 2, "decoder_layers": 2,
             "img_size": 512, "encoder_channels": [32, 64, 128, 128]}
     if encoder == "bevformer":
-        base.update(dim=256, bev_size=128, num_layers=3,
-                    backbone="resnet50")
+        base.update(dim=256, bev_size=128, num_layers=3, heads=8,
+                    window=8, lift="planar", backbone="resnet50",
+                    id_pick=[2], num_points_in_pillar=4,
+                    decoder_layers=0, bev_range=102.4)
     return base
 
 

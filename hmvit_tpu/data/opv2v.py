@@ -196,6 +196,13 @@ class HeteroCooperativeDataset:
         self.loc_err = wild.get("loc_err", False)
         self.xyz_std = float(wild.get("xyz_std", 0.2))
         self.ryp_std = float(wild.get("ryp_std", 0.2))
+        # cur_ego_pose_flag=True (default): transforms map delayed CAV
+        # -> CURRENT ego, correction = identity.  False: transforms map
+        # to the DELAYED ego pose and spatial_correction_matrix carries
+        # the ego's own motion over the delay for the model's STTF to
+        # compensate (reference: basedataset.py:565-635).
+        self.cur_ego_pose_flag = bool(params.get("cur_ego_pose_flag",
+                                                 True))
 
         # flat index over (scenario, timestamp) using the ego's timeline
         self.index = []
@@ -245,6 +252,7 @@ class HeteroCooperativeDataset:
 
         ego_meta = load_frame_yaml(cavs[cav_list[0]][ts]["yaml"])
         ego_pose = ego_meta["lidar_pose"]
+        ego_stamps = list(cavs[cav_list[0]].keys())
 
         frame = _empty_frame(self.max_cav, self.max_points,
                              self.image_size, self.max_objects)
@@ -307,6 +315,20 @@ class HeteroCooperativeDataset:
                 float(delay_frames),
                 1.0 if int(cav) < 0 else 0.0,
             )
+            if not self.cur_ego_pose_flag and delay_frames and ci > 0:
+                # transform to the ego's DELAYED pose; the correction
+                # matrix (delayed ego -> current ego) goes to the model
+                d_pos = max(ego_stamps.index(ts) - delay_frames, 0)
+                ego_delay_pose = load_frame_yaml(
+                    cavs[cav_list[0]][ego_stamps[d_pos]]["yaml"]
+                )["lidar_pose"]
+                frame["transformation_matrix"][slot] = T.pose_to_pose(
+                    noisy_pose, ego_delay_pose).astype(np.float32)
+                frame["spatial_correction_matrix"][slot] = T.pose_to_pose(
+                    ego_delay_pose, ego_pose).astype(np.float32)
+                frame["_poses"].append(noisy_pose)
+                slot += 1
+                continue
             frame["transformation_matrix"][slot] = T.pose_to_pose(
                 noisy_pose, ego_pose).astype(np.float32)
             frame["_poses"].append(noisy_pose)
@@ -464,6 +486,7 @@ def _empty_frame(max_cav, max_points, image_size, max_objects) -> dict:
         "prior_encoding": np.zeros((max_cav, 3), np.float32),
         "pairwise_t_matrix": np.tile(eye4, (max_cav, max_cav, 1, 1)),
         "transformation_matrix": np.tile(eye4, (max_cav, 1, 1)),
+        "spatial_correction_matrix": np.tile(eye4, (max_cav, 1, 1)),
         "object_bbx_center": np.zeros((max_objects, 7), np.float32),
         "object_bbx_mask": np.zeros(max_objects, np.float32),
         "_poses": [],

@@ -169,12 +169,168 @@ class BEVFormerLayer(nn.Module):
         return x + ff
 
 
+class PlanarLiftCrossAttention(nn.Module):
+    """TPU-native spatial cross-attention: for each (camera, height
+    plane) the BEV->image mapping is a HOMOGRAPHY, so sampling every
+    query's projected reference point is one dense separable projective
+    warp on the MXU (ops/projective_warp.py) instead of millions of
+    per-query gathers (the reference's CUDA ms_deform_attn).  Per-query
+    adaptive weights over the (camera, plane) hypotheses replace the
+    learned attention weights; invisible hypotheses are masked."""
+    dim: int
+    z_points: int = 4
+
+    @nn.compact
+    def __call__(self, query_2d, cam_feats, proj, bev_range, z_values,
+                 img_hw, compute_dtype=jnp.float32):
+        from ..ops.projective_warp import warp_projective_mxu
+
+        n, hb, wb, c = query_2d.shape
+        m, fh, fw = cam_feats.shape[1:4]
+        z = self.z_points
+        img_h, img_w = img_hw
+        step = 2 * bev_range / wb
+
+        # homography per (n, m, k): image pixels <- BEV pixels on z=z_k
+        # uvw = P @ [x, y, z_k, 1]; [x, y] = step*[x', y'] + (step/2 - R)
+        p = proj.astype(jnp.float32)  # (N, M, 3, 4)
+        col_x = p[..., 0] * step
+        col_y = p[..., 1] * step
+        off = (step / 2.0) - bev_range
+        const = (p[..., 0] * off + p[..., 1] * off
+                 + p[..., 3])  # (N, M, 3)
+        const_k = const[:, :, None, :] + (p[..., 2][:, :, None, :]
+                                          * z_values[None, None, :, None])
+        h_img = jnp.stack(
+            [jnp.broadcast_to(col_x[:, :, None], const_k.shape),
+             jnp.broadcast_to(col_y[:, :, None], const_k.shape),
+             const_k], axis=-1)  # (N, M, Z, 3, 3)
+        # image pixels -> feature pixels
+        scale = jnp.diag(jnp.asarray([fw / img_w, fh / img_h, 1.0],
+                                     jnp.float32))
+        h_feat = jnp.einsum("ij,nmkjl->nmkil", scale, h_img)
+
+        value = nn.Dense(self.dim, name="value")(
+            cam_feats.astype(compute_dtype))
+        warped = warp_projective_mxu(
+            jnp.broadcast_to(value[:, :, None],
+                             (n, m, z, fh, fw, self.dim)
+                             ).reshape(n * m * z, fh, fw, self.dim),
+            h_feat.reshape(-1, 3, 3), (hb, wb),
+        ).reshape(n, m, z, hb, wb, self.dim)
+
+        # visibility per hypothesis (dense, no gathers)
+        ys = jnp.arange(hb, dtype=jnp.float32)[None, :, None]
+        xs = jnp.arange(wb, dtype=jnp.float32)[None, None, :]
+        hf = h_feat.reshape(-1, 3, 3)
+        w_ = (hf[:, 2, 0, None, None] * xs + hf[:, 2, 1, None, None] * ys
+              + hf[:, 2, 2, None, None])
+        sw = jnp.where(jnp.abs(w_) < 1e-6, 1e-6, w_)
+        u_ = (hf[:, 0, 0, None, None] * xs + hf[:, 0, 1, None, None] * ys
+              + hf[:, 0, 2, None, None]) / sw
+        v_ = (hf[:, 1, 0, None, None] * xs + hf[:, 1, 1, None, None] * ys
+              + hf[:, 1, 2, None, None]) / sw
+        vis = ((w_ > 0.1) & (u_ >= 0) & (u_ < fw)
+               & (v_ >= 0) & (v_ < fh)).reshape(n, m, z, hb, wb)
+
+        logits = nn.Dense(m * z, name="hypo_weights")(query_2d)
+        logits = jnp.moveaxis(
+            logits.reshape(n, hb, wb, m, z), (3, 4), (1, 2))
+        logits = jnp.where(vis, logits, -1e9)
+        flat = logits.reshape(n, m * z, hb, wb)
+        weights = jax.nn.softmax(flat, axis=1)
+        any_vis = vis.reshape(n, m * z, hb, wb).any(axis=1,
+                                                    keepdims=True)
+        weights = jnp.where(any_vis, weights, 0.0).astype(warped.dtype)
+
+        out = jnp.einsum(
+            "nkhw,nkhwc->nhwc",
+            weights, warped.reshape(n, m * z, hb, wb, self.dim),
+            preferred_element_type=jnp.float32).astype(compute_dtype)
+        return nn.Dense(self.dim, name="out")(out)
+
+
+class BEVWindowSelfAttention(nn.Module):
+    """Windowed BEV self-attention (local + grid), the dense stand-in
+    for deformable self-attention at production BEV sizes."""
+    dim: int
+    window: int = 8
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        from .fusion.v2xvit import WindowSelfAttention
+
+        # reuse the per-agent window attention with a singleton agent
+        return WindowSelfAttention(self.dim, self.window,
+                                   self.heads)(x[:, None])[:, 0]
+
+
 class BEVFormerEncoder(nn.Module):
-    """(N, M, H, W, 3) images + calib -> (N, out, out, out_dim) BEV."""
+    """(N, M, H, W, 3) images + calib -> (N, out, out, out_dim) BEV.
+
+    lift modes: 'planar' (default; dense homography warps, production
+    scale) or 'deformable' (per-query sampled offsets, the structural
+    twin of the reference plugin — quadratic gather cost, small BEV
+    sizes only)."""
     config: dict
 
     @nn.compact
     def __call__(self, images, intrinsics, extrinsics, train: bool = False):
+        cfg = self.config
+        if cfg.get("lift", "planar") == "planar":
+            return self._planar(images, intrinsics, extrinsics, train)
+        return self._deformable(images, intrinsics, extrinsics, train)
+
+    def _planar(self, images, intrinsics, extrinsics, train):
+        cfg = self.config
+        dim = cfg.get("dim", 256)
+        bev_hw = cfg.get("bev_size", 128)
+        out_dim = cfg.get("out_dim", 256)
+        layers = cfg.get("num_layers", 3)
+        heads = cfg.get("heads", 8)
+        window = cfg.get("window", 8)
+        bev_range = cfg.get("bev_range", 51.2)
+        cdt = jnp.dtype(cfg.get("compute_dtype", "float32"))
+        n, m, img_h, img_w, _ = images.shape
+
+        feats = make_image_backbone(cfg)(
+            images.reshape(n * m, img_h, img_w, 3).astype(cdt), train)
+        if isinstance(feats, (list, tuple)):
+            feats = feats[-1]
+        fh, fw = feats.shape[1:3]
+        cam_feats = feats.reshape(n, m, fh, fw, -1)
+
+        proj = lidar2img(intrinsics, extrinsics)  # (N, M, 3, 4)
+        z_values = jnp.linspace(-2.0, 1.0,
+                                cfg.get("num_points_in_pillar", 4))
+
+        bev_embed = self.param("bev_embedding",
+                               nn.initializers.normal(0.02),
+                               (bev_hw, bev_hw, dim))
+        x = jnp.broadcast_to(bev_embed[None],
+                             (n, bev_hw, bev_hw, dim)).astype(cdt)
+
+        for _ in range(layers):
+            x = x + BEVWindowSelfAttention(dim, window, heads)(
+                nn.LayerNorm()(x))
+            x = x + PlanarLiftCrossAttention(
+                dim, z_points=len(z_values))(
+                nn.LayerNorm()(x), cam_feats, proj, bev_range, z_values,
+                (img_h, img_w), cdt)
+            ff = nn.Dense(dim)(
+                nn.gelu(nn.Dense(2 * dim)(nn.LayerNorm()(x))))
+            x = x + ff
+
+        bev = nn.Dense(out_dim)(x).astype(jnp.float32)
+        up = cfg.get("decoder_layers", 0)
+        if up:
+            bev = NaiveDecoder(num_layer=up, num_ch_dec=[out_dim] * up,
+                               use_upsample=True)(bev, train)
+        return bev
+
+    def _deformable(self, images, intrinsics, extrinsics,
+                    train: bool = False):
         cfg = self.config
         dim = cfg.get("dim", 128)
         bev_hw = cfg.get("bev_size", 32)

@@ -158,7 +158,8 @@ class V2XTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
-                 deterministic: bool = True, prior_encoding=None):
+                 deterministic: bool = True, prior_encoding=None,
+                 spatial_correction=None):
         b, l, h, w, c = x.shape
         num_types = 2
         if prior_encoding is not None:
@@ -179,8 +180,14 @@ class V2XTransformer(nn.Module):
             mode = jnp.where(is_infra, 2, mode)
             num_types = 3
 
-        # STTF: warp every agent into the ego frame once
+        # STTF: warp every agent into the ego frame once; with
+        # cur_ego_pose_flag=False the loader's transforms stop at the
+        # DELAYED ego pose and spatial_correction (delayed ego ->
+        # current ego, reference mwin_tranformer.py:205-227) composes in
         t = pairwise[:, :, 0]
+        if spatial_correction is not None:
+            t = jnp.einsum("blij,bljk->blik",
+                           spatial_correction.astype(t.dtype), t)
         x = warp_bev_nhwc(x, t, self.discrete_ratio, self.downsample_rate)
         mask = roi_and_agent_mask(
             b, l, h, w, agent_mask, t, self.discrete_ratio,

@@ -92,3 +92,65 @@ def test_rasterizer_marks_box_cells():
 
     iou = seg_iou(mask, mask)
     assert iou["miou"] == 1.0
+
+
+def test_camera_box_drawing(tmp_path):
+    """3D boxes project into the image and draw (reference
+    camera_utils.py:142-224 twin)."""
+    import numpy as np
+    from hmvit_tpu.utils import boxes as B
+    from hmvit_tpu.utils.camera import (
+        corners_to_camera,
+        draw_2d_boxes,
+        draw_3d_boxes,
+        filter_boxes_in_image,
+    )
+
+    box = np.array([[8.0, 0.0, 0.0, 1.6, 1.8, 4.2, 0.3]])
+    corners = B.boxes_to_corners_3d(box, "hwl")
+    f, s = 64.0, 128
+    intr = np.array([[f, 0, s / 2], [0, f, s / 2], [0, 0, 1.0]])
+    cam_pose = np.eye(4)
+    cam_pose[2, 3] = 1.5  # camera 1.5 m up, looking +x
+    cam = corners_to_camera(corners, intr, cam_pose)
+    assert cam.shape == (1, 8, 3)
+    assert (cam[0, :, 2] > 0).all()  # in front
+    kept = filter_boxes_in_image(cam, s, s)
+    assert len(kept) == 1
+
+    img = np.zeros((s, s, 3), np.uint8)
+    out2 = draw_2d_boxes(img, cam)
+    out3 = draw_3d_boxes(img, cam)
+    assert out2.sum() > 0 and out3.sum() > 0
+    # a box behind the camera draws nothing
+    behind = B.boxes_to_corners_3d(
+        np.array([[-8.0, 0.0, 0.0, 1.6, 1.8, 4.2, 0.0]]), "hwl")
+    camb = corners_to_camera(behind, intr, cam_pose)
+    assert draw_3d_boxes(img, camb).sum() == 0
+
+
+def test_sequence_renderer(tmp_path):
+    from hmvit_tpu.data.fixture import write_mini_opv2v
+    from hmvit_tpu.data.opv2v import HeteroCooperativeDataset
+    from hmvit_tpu.visualization.sequence import render_sequence, vis_frame
+
+    root = str(tmp_path / "mini")
+    write_mini_opv2v(root, num_scenarios=1, num_cavs=2, num_frames=2,
+                     image_size=32, max_points=512)
+    params = {
+        "train_params": {"max_cav": 2},
+        "camera_to_lidar_ratio": 0.0, "ego_mode": "lidar",
+        "preprocess": {
+            "cav_lidar_range": [-50, -50, -3, 50, 50, 1],
+            "args": {"camera_preprocess": {"args": {"resize_x": 32,
+                                                    "resize_y": 32}}}},
+        "postprocess": {"max_num": 30, "order": "hwl"},
+        "root_dir": root, "validate_dir": root,
+    }
+    ds = HeteroCooperativeDataset(params, train=False, max_points=512)
+    data = vis_frame(ds, 0)
+    assert data["points"].shape[0] > 0
+    paths = render_sequence(ds, str(tmp_path / "seq"), indices=[0, 1],
+                            gif=True)
+    import os
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)

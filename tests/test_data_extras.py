@@ -173,3 +173,45 @@ def test_bev_map_gt_loading(tmp_path):
     # and box-raster fallback still provides dynamic labels
     lab2 = ds2.seg_labels(ds2[0], (16, 16))
     assert "dynamic_seg" in lab2 and "static_seg" not in lab2
+
+
+def test_spatial_correction_matrix(tmp_path):
+    """cur_ego_pose_flag=False: transforms target the DELAYED ego pose
+    and spatial_correction_matrix carries the ego's motion over the
+    delay — composing them recovers the current-ego transform
+    (reference: basedataset.py:565-635)."""
+    from hmvit_tpu.data.fixture import write_mini_opv2v
+    from hmvit_tpu.data.opv2v import HeteroCooperativeDataset
+
+    root = str(tmp_path / "mini")
+    write_mini_opv2v(root, num_scenarios=1, num_cavs=2, num_frames=4,
+                     image_size=32, max_points=512)
+    params = {
+        "train_params": {"max_cav": 2},
+        "camera_to_lidar_ratio": 0.0,
+        "ego_mode": "lidar",
+        "wild_setting": {"async": True, "async_mode": "sim",
+                         "async_overhead": 2},
+        "preprocess": {
+            "cav_lidar_range": [-102.4, -102.4, -3, 102.4, 102.4, 1],
+            "args": {"camera_preprocess": {"args": {"resize_x": 32,
+                                                    "resize_y": 32}}},
+        },
+        "postprocess": {"max_num": 30, "order": "hwl"},
+        "root_dir": root, "validate_dir": root,
+    }
+    cur = HeteroCooperativeDataset(params, train=False, max_points=512)
+    f_cur = cur[3]
+    np.testing.assert_allclose(f_cur["spatial_correction_matrix"][1],
+                               np.eye(4), atol=1e-6)
+
+    delayed = HeteroCooperativeDataset(
+        dict(params, cur_ego_pose_flag=False), train=False,
+        max_points=512)
+    f_del = delayed[3]
+    corr = f_del["spatial_correction_matrix"][1]
+    assert not np.allclose(corr, np.eye(4), atol=1e-6)
+    composed = corr @ f_del["transformation_matrix"][1]
+    np.testing.assert_allclose(composed,
+                               f_cur["transformation_matrix"][1],
+                               atol=1e-4)
