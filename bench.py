@@ -107,7 +107,13 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
             return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
 
         variables = jax.tree_util.tree_map(to_bf16, variables)
-        batch = jax.tree_util.tree_map(to_bf16, batch)
+        # sensor data in bf16; calibration/geometry stays fp32 (pose
+        # matrices feed pixel-affine/homography math — the warp ops
+        # upcast internally, but quantizing the inputs loses real bits)
+        geom = {"pairwise_t_matrix", "transformation_matrix",
+                "intrinsics", "extrinsics", "spatial_correction_matrix"}
+        batch = {k: (to_bf16(v) if k not in geom else v)
+                 for k, v in batch.items()}
 
     @jax.jit
     def forward(variables, batch):

@@ -31,10 +31,16 @@ class ImageEncoder(nn.Module):
 
 
 def make_image_backbone(cfg: dict):
-    """Image backbone by config: 'backbone' names a ResNet (stride-16
-    stage 3 output), otherwise the plain strided conv encoder."""
+    """Image backbone by config: 'backbone' names a ResNet or VoVNet
+    (stride-16 stage 3 output), otherwise the plain strided conv
+    encoder."""
     backbone = cfg.get("backbone")
     if backbone:
+        if backbone.startswith("vovnet"):
+            from .vovnet import VoVNet
+
+            return VoVNet(arch=backbone,
+                          id_pick=tuple(cfg.get("id_pick", (3,))))
         from .resnet import ResNetEncoder
 
         return ResNetEncoder(arch=backbone,

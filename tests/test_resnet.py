@@ -1,5 +1,6 @@
 """ResNet backbones: strides, multi-scale pick, gradient flow."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -37,3 +38,28 @@ def test_backbone_selection_in_camera_encoder():
     out = enc.apply(variables, imgs, intr, extr)
     assert out.shape == (1, 8, 8, 32)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("arch,chans", [("vovnet-19", 384),
+                                        ("vovnet-39", 768)])
+def test_vovnet_stage_shapes(arch, chans):
+    from hmvit_tpu.models.vovnet import VoVNet
+
+    x = jnp.ones((1, 64, 64, 3))
+    net = VoVNet(arch=arch, id_pick=(3,))
+    v = net.init(jax.random.key(0), x, train=False)
+    out = net.apply(v, x, train=False)
+    assert out.shape == (1, 4, 4, chans)  # stride 16
+    # multi-scale pick
+    net2 = VoVNet(arch=arch, id_pick=(1, 3))
+    v2 = net2.init(jax.random.key(0), x, train=False)
+    o1, o3 = net2.apply(v2, x, train=False)
+    assert o1.shape[1] == 16 and o3.shape[1] == 4
+    # gradient flow
+    def loss(p):
+        return jnp.sum(net.apply({"params": p,
+                                  "batch_stats": v["batch_stats"]},
+                                 x, train=False) ** 2)
+    g = jax.grad(loss)(v["params"])
+    assert sum(float(jnp.abs(t).sum())
+               for t in jax.tree_util.tree_leaves(g)) > 0
