@@ -47,6 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--save_npy", action="store_true")
     p.add_argument("--save_vis", action="store_true")
+    p.add_argument("--save_3d", action="store_true",
+                   help="export an interactive 3D HTML sequence viewer "
+                        "(the reference's o3d sequence viewer twin)")
     return p.parse_args(argv)
 
 
@@ -137,6 +140,7 @@ def main(argv=None):
         os.makedirs(npy_dir, exist_ok=True)
     if args.save_vis:
         os.makedirs(vis_dir, exist_ok=True)
+    html_frames = []
 
     for i in range(n_frames):
         frame = dataset[i]
@@ -187,6 +191,18 @@ def main(argv=None):
             visualize_bev(pts, corners, gt_corners,
                           params["preprocess"]["cav_lidar_range"],
                           save_path=os.path.join(vis_dir, f"{i:05d}.png"))
+        if args.save_3d:
+            html_frames.append({
+                "points": frame["points"][0][frame["points_mask"][0] > 0],
+                "pred_corners": corners, "gt_corners": gt_corners,
+                "scores": scores,
+            })
+
+    if html_frames:
+        from ..visualization.viewer3d import export_sequence_html
+
+        export_sequence_html(
+            os.path.join(args.model_dir, "sequence.html"), html_frames)
 
     results = E.final_results(stat)
     if "iou" in results:

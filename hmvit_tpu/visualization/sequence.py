@@ -27,21 +27,36 @@ def vis_frame(dataset, idx: int) -> dict:
 
 def render_sequence(dataset, out_dir: str, indices=None,
                     pred_fn=None, gif: bool = True,
-                    gif_name: str = "sequence.gif") -> list:
-    """Render frames to ``out_dir/frame_%05d.png`` (+ optional gif).
+                    gif_name: str = "sequence.gif",
+                    html: bool = True) -> list:
+    """Render frames to ``out_dir/frame_%05d.png`` (+ optional gif and
+    an interactive 3D HTML viewer, ``out_dir/sequence.html``).
 
     pred_fn: optional ``idx -> (pred_corners, scores)`` callback so an
     inference loop can overlay detections.  Returns the png paths."""
     os.makedirs(out_dir, exist_ok=True)
     indices = range(len(dataset)) if indices is None else indices
     paths = []
+    html_frames = []
     for i in indices:
         data = vis_frame(dataset, int(i))
-        pred = pred_fn(int(i))[0] if pred_fn is not None else None
+        pred, scores = (pred_fn(int(i)) if pred_fn is not None
+                        else (None, None))
         path = os.path.join(out_dir, f"frame_{int(i):05d}.png")
         visualize_bev(data["points"], pred, data["gt_corners"],
                       dataset.lidar_range, save_path=path)
         paths.append(path)
+        if html:
+            html_frames.append({"points": data["points"],
+                                "pred_corners": pred,
+                                "gt_corners": data["gt_corners"],
+                                "scores": scores})
+
+    if html and html_frames:
+        from .viewer3d import export_sequence_html
+
+        export_sequence_html(os.path.join(out_dir, "sequence.html"),
+                             html_frames)
 
     if gif and paths:
         try:

@@ -154,3 +154,35 @@ def test_sequence_renderer(tmp_path):
                             gif=True)
     import os
     assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+def test_viewer3d_export(tmp_path):
+    """Interactive HTML viewer: sequence export embeds every frame's
+    points and boxes as JSON in a self-contained document."""
+    from hmvit_tpu.visualization.viewer3d import (
+        export_scene_html,
+        export_sequence_html,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for _ in range(3):
+        box = np.array([[5.0, -3.0, 0.0, 4.0, 2.0, 1.5, 0.4]])
+        frames.append({
+            "points": rng.uniform(-20, 20, (100, 4)).astype(np.float32),
+            "gt_corners": B.boxes_to_corners_3d(box, "lwh"),
+            "pred_corners": B.boxes_to_corners_3d(box + 0.5, "lwh"),
+            "scores": np.array([0.9]),
+        })
+    path = export_sequence_html(str(tmp_path / "seq.html"), frames)
+    doc = open(path).read()
+    assert doc.count('"pts"') == 3 and '"scores"' in doc
+    assert "<canvas" in doc and "FRAMES.length" in doc
+
+    # single-scene wrapper + point downsampling cap
+    p2 = export_scene_html(str(tmp_path / "one.html"),
+                           np.zeros((200000, 3), np.float32))
+    import json as _json
+    payload = _json.loads(
+        open(p2).read().split("FRAMES=")[1].split(", EDGES=")[0])
+    assert len(payload[0]["pts"]) == 3 * 120000
