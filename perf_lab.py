@@ -175,6 +175,90 @@ def stage_phase(compute_dtype="float32", style="local"):
     print(f"phase[{style}] {compute_dtype}: {ms:.2f} ms")
 
 
+def _prod_camera_cfg(compute_dtype="float32"):
+    return {"encoder": "bevformer", "lift": "planar",
+            "backbone": "resnet50", "id_pick": [2],
+            "dim": 256, "bev_size": 128, "out_dim": 256,
+            "num_layers": 3, "heads": 8, "window": 8,
+            "num_points_in_pillar": 4, "decoder_layers": 0,
+            "bev_range": 102.4, "compute_dtype": compute_dtype}
+
+
+def stage_camera(compute_dtype="float32", n_slots=L, img=512):
+    """Full production camera branch: ResNet50 + planar BEVFormer."""
+    from hmvit_tpu.models.hmvit import make_camera_encoder
+
+    key = jax.random.key(4)
+    ks = jax.random.split(key, 3)
+    images = jax.random.uniform(ks[0], (n_slots, 4, img, img, 3))
+    intr = jnp.broadcast_to(
+        jnp.array([[img / 2, 0, img / 2], [0, img / 2, img / 2],
+                   [0, 0, 1.0]]), (n_slots, 4, 3, 3))
+    ang = jnp.arange(4) * (np.pi / 2)
+    rot = jnp.stack([
+        jnp.stack([jnp.cos(ang), -jnp.sin(ang), jnp.zeros(4)], -1),
+        jnp.stack([jnp.sin(ang), jnp.cos(ang), jnp.zeros(4)], -1),
+        jnp.stack([jnp.zeros(4), jnp.zeros(4), jnp.ones(4)], -1)], -2)
+    extr = jnp.zeros((n_slots, 4, 4, 4)).at[:, :, 3, 3].set(1.0)
+    extr = extr.at[:, :, :3, :3].set(rot[None]).at[:, :, 2, 3].set(1.6)
+    enc = make_camera_encoder(_prod_camera_cfg(compute_dtype))
+    variables = enc.init(jax.random.key(0), images, intr, extr, False)
+
+    @jax.jit
+    def run(v, im, ii, ee):
+        return enc.apply(v, im, ii, ee, False)
+
+    ms = timeit(run, variables, images, intr, extr, iters=10)
+    print(f"camera branch x{n_slots} {compute_dtype}: {ms:.2f} ms")
+
+
+def stage_backbone(compute_dtype="float32", img=512):
+    """ResNet50 stride-8 trunk on the 20 production images."""
+    from hmvit_tpu.models.resnet import ResNetEncoder
+
+    key = jax.random.key(5)
+    images = jax.random.uniform(
+        key, (20, img, img, 3),
+        dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
+        else jnp.float32)
+    net = ResNetEncoder(arch="resnet50", id_pick=(2,))
+    variables = net.init(jax.random.key(0), images, False)
+
+    @jax.jit
+    def run(v, im):
+        return net.apply(v, im, False)
+
+    ms = timeit(run, variables, images, iters=10)
+    print(f"resnet50 x20@{img} {compute_dtype}: {ms:.2f} ms")
+
+
+def stage_fusion(compute_dtype="float32"):
+    """Full 2-iteration HeteroFusion stack at production shapes."""
+    from hmvit_tpu.models.hetero_fusion import HeteroFusion
+
+    key = jax.random.key(6)
+    x = jax.random.normal(key, (B, L, H, W, C), jnp.float32)
+    mode = jnp.array([[1, 0, 1, 0, 1]])
+    pair = rand_pairwise(key)
+    amask = jnp.ones((B, L))
+    cfg = {"num_iters": 2,
+           "hetero_fusion_block": {
+               "spatial_transform": {"downsample_rate": 4,
+                                     "voxel_size": [0.4, 0.4, 4.0]},
+               "architect_mode": "sequential", "input_dim": C,
+               "mlp_dim": C, "window_size": WIN, "dim_head": D,
+               "drop_out": 0.0, "compute_dtype": compute_dtype}}
+    mod = HeteroFusion(cfg)
+    variables = mod.init(jax.random.key(0), x, mode, pair, amask)
+
+    @jax.jit
+    def run(v, x, mode, pair, amask):
+        return mod.apply(v, x, mode, pair, amask)
+
+    ms = timeit(run, variables, x, mode, pair, amask, iters=10)
+    print(f"fusion 2-iter {compute_dtype}: {ms:.2f} ms")
+
+
 STAGES = {
     "warp": lambda: (stage_warp(jnp.float32), stage_warp(jnp.bfloat16)),
     "attn": lambda: (stage_attn_typed(jnp.float32),),
@@ -185,6 +269,12 @@ STAGES = {
                       stage_phase("float32", "grid"),
                       stage_phase("bfloat16", "local"),
                       stage_phase("bfloat16", "grid")),
+    "camera": lambda: (stage_camera("bfloat16"),
+                       stage_camera("float32")),
+    "backbone": lambda: (stage_backbone("bfloat16"),
+                         stage_backbone("float32")),
+    "fusion": lambda: (stage_fusion("bfloat16"),
+                       stage_fusion("float32")),
 }
 
 
