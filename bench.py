@@ -73,7 +73,7 @@ PROD_CFG = {
 
 def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
          image_size: int = 512, max_points: int = 30000,
-         bf16: bool = False):
+         bf16: bool = True):
     import os
 
     import jax
@@ -146,4 +146,7 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
 if __name__ == "__main__":
     import sys
 
-    main(bf16="--bf16" in sys.argv)
+    # bf16 is the serving default (TPU-standard inference numerics; the
+    # reference's analogue is its fp16 AMP --half path).  Geometry/
+    # calibration inputs stay fp32 either way.
+    main(bf16="--fp32" not in sys.argv)

@@ -183,7 +183,7 @@ class PlanarLiftCrossAttention(nn.Module):
     @nn.compact
     def __call__(self, query_2d, cam_feats, proj, bev_range, z_values,
                  img_hw, compute_dtype=jnp.float32):
-        from ..ops.projective_warp import warp_projective_mxu
+        from ..ops.projective_warp import warp_projective_reduce
 
         n, hb, wb, c = query_2d.shape
         m, fh, fw = cam_feats.shape[1:4]
@@ -212,12 +212,6 @@ class PlanarLiftCrossAttention(nn.Module):
 
         value = nn.Dense(self.dim, name="value")(
             cam_feats.astype(compute_dtype))
-        warped = warp_projective_mxu(
-            jnp.broadcast_to(value[:, :, None],
-                             (n, m, z, fh, fw, self.dim)
-                             ).reshape(n * m * z, fh, fw, self.dim),
-            h_feat.reshape(-1, 3, 3), (hb, wb),
-        ).reshape(n, m, z, hb, wb, self.dim)
 
         # visibility per hypothesis (dense, no gathers)
         ys = jnp.arange(hb, dtype=jnp.float32)[None, :, None]
@@ -241,12 +235,14 @@ class PlanarLiftCrossAttention(nn.Module):
         weights = jax.nn.softmax(flat, axis=1)
         any_vis = vis.reshape(n, m * z, hb, wb).any(axis=1,
                                                     keepdims=True)
-        weights = jnp.where(any_vis, weights, 0.0).astype(warped.dtype)
+        weights = jnp.where(any_vis, weights, 0.0)
 
-        out = jnp.einsum(
-            "nkhw,nkhwc->nhwc",
-            weights, warped.reshape(n, m * z, hb, wb, self.dim),
-            preferred_element_type=jnp.float32).astype(compute_dtype)
+        # fused weighted hypothesis reduction: the (N, M*Z, hb, wb, C)
+        # per-hypothesis warps are never materialized — the weights fold
+        # into the warp's pass-2 matrices (ops/projective_warp.py)
+        out = warp_projective_reduce(
+            value, h_feat.reshape(n, m * z, 3, 3), (hb, wb),
+            weights).astype(compute_dtype)
         return nn.Dense(self.dim, name="out")(out)
 
 

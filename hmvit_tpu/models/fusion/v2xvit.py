@@ -98,21 +98,38 @@ class WindowSelfAttention(nn.Module):
         vw = _window_split(v, win, "local")
         nx, ny, t = qw.shape[2], qw.shape[3], win * win
 
-        def heads_split(z):
-            return z.reshape(b, l, nx, ny, t, self.heads, d)
-
-        qh = heads_split(qw) * d ** -0.5
-        kh, vh = heads_split(kw), heads_split(vw)
-        sim = jnp.einsum("blxyihd,blxyjhd->blxyhij", qh, kh,
-                         preferred_element_type=jnp.float32)
         table = self.param("rel_pos_bias", nn.initializers.normal(0.02),
                            ((2 * win - 1) ** 2, self.heads))
         bias = table[jnp.asarray(relative_position_index(win))]
-        sim = sim + bias.transpose(2, 0, 1)[None, None, None, None]
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("blxyhij,blxyjhd->blxyihd", attn, vh,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(b, l, nx, ny, t, self.heads * d)
+        bias_h = bias.transpose(2, 0, 1)
+
+        if jax.default_backend() == "tpu":
+            # single-sender case of the fused H3GAT window kernel
+            from ...ops.window_attention import (
+                fused_plain_window_attention,
+            )
+
+            out = fused_plain_window_attention(
+                (qw * d ** -0.5).reshape(b * l, nx * ny, t, c),
+                kw.reshape(b * l, 1, nx * ny, t, c),
+                vw.reshape(b * l, 1, nx * ny, t, c),
+                bias_h,
+                jnp.ones((b * l, 1, nx * ny, t), qw.dtype),
+                self.heads, d,
+            ).reshape(b, l, nx, ny, t, c)
+        else:
+            def heads_split(z):
+                return z.reshape(b, l, nx, ny, t, self.heads, d)
+
+            qh = heads_split(qw) * d ** -0.5
+            kh, vh = heads_split(kw), heads_split(vw)
+            sim = jnp.einsum("blxyihd,blxyjhd->blxyhij", qh, kh,
+                             preferred_element_type=jnp.float32)
+            sim = sim + bias_h[None, None, None, None]
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("blxyhij,blxyjhd->blxyihd", attn, vh,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(b, l, nx, ny, t, self.heads * d)
         out = _window_merge(out, win, "local", h, w)
         return nn.Dense(self.dim)(out)
 

@@ -127,8 +127,10 @@ class HeteroWindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
-                 deterministic: bool = True, pair_mask=None):
+                 deterministic: bool = True, pair_mask=None,
+                 receivers: int | None = None):
         b, l, h, w, c = x.shape
+        r = l if receivers is None else receivers
         heads = self.dim // self.dim_head
         d = self.dim_head
         win = self.window
@@ -136,7 +138,8 @@ class HeteroWindowAttention(nn.Module):
         cdt = jnp.dtype(self.compute_dtype)
         x = x.astype(cdt)
 
-        q = HeteroDense(self.dim, self.num_types, name="to_q")(x, mode)
+        q = HeteroDense(self.dim, self.num_types,
+                        name="to_q")(x[:, :r], mode[:, :r])
         k = HeteroDense(self.dim, self.num_types, name="to_k")(x, mode)
         v = HeteroDense(self.dim, self.num_types, name="to_v")(x, mode)
 
@@ -182,19 +185,19 @@ class HeteroWindowAttention(nn.Module):
 
             kv_pair = fused_pair_warp(
                 kv2, pairwise, mode,
-                self.discrete_ratio, self.downsample_rate)
+                self.discrete_ratio, self.downsample_rate, receivers)
         else:
-            ridx = mode[:, :, None, None, None, None]
+            ridx = mode[:, :r, None, None, None, None]
             kv_typed = jnp.take_along_axis(
                 kv2, ridx.astype(jnp.int32), axis=1
             )  # (B, I, J, H, W, 2C) — gather, fused into the warp reads
-            t_ij = jnp.swapaxes(pairwise, 1, 2)  # (B, I, J, 4, 4)
+            t_ij = jnp.swapaxes(pairwise, 1, 2)[:, :r]  # (B, I, J, 4, 4)
             warp_fn = warp_bev_mxu if self.use_mxu_warp else warp_bev_nhwc
             kv_pair = warp_fn(
-                kv_typed.reshape(b * l, l, h, w, 2 * c),
-                t_ij.reshape(b * l, l, 4, 4),
+                kv_typed.reshape(b * r, l, h, w, 2 * c),
+                t_ij.reshape(b * r, l, 4, 4),
                 self.discrete_ratio, self.downsample_rate,
-            ).reshape(b, l, l, h, w, 2 * c)
+            ).reshape(b, r, l, h, w, 2 * c)
         k_pair = kv_pair[..., :c]
         v_pair = kv_pair[..., c:]  # (B, I, J, H, W, C)
 
@@ -204,7 +207,7 @@ class HeteroWindowAttention(nn.Module):
             pair_mask = pairwise_roi_mask(
                 pairwise, agent_mask, (h, w),
                 self.discrete_ratio, self.downsample_rate)
-        com_mask = pair_mask  # (B, I, H, W, J)
+        com_mask = pair_mask[:, :r]  # (B, I, H, W, J)
 
         # window partition
         qw = _window_split(q, win, self.style)  # (B, I, X, Y, T, C)
@@ -217,7 +220,7 @@ class HeteroWindowAttention(nn.Module):
         nx, ny, t_tok = qw.shape[2], qw.shape[3], win * win
 
         if self.exclude_self:
-            eye = jnp.eye(l)[None, :, :, None, None]
+            eye = jnp.eye(l)[:r][None, :, :, None, None]
             mw = mw * (1.0 - eye)
 
         table = self.param(
@@ -234,28 +237,29 @@ class HeteroWindowAttention(nn.Module):
             from ..ops.window_attention import fused_plain_window_attention
 
             out = fused_plain_window_attention(
-                qw.reshape(b * l, nx * ny, t_tok, c),
-                kw.reshape(b * l, l, nx * ny, t_tok, c),
-                vw.reshape(b * l, l, nx * ny, t_tok, c),
+                qw.reshape(b * r, nx * ny, t_tok, c),
+                kw.reshape(b * r, l, nx * ny, t_tok, c),
+                vw.reshape(b * r, l, nx * ny, t_tok, c),
                 bias_h,
-                mw.reshape(b * l, l, nx * ny, t_tok).astype(cdt),
+                mw.reshape(b * r, l, nx * ny, t_tok).astype(cdt),
                 heads, d,
             )
-            out = out.reshape(b, l, nx, ny, t_tok, c)
+            out = out.reshape(b, r, nx, ny, t_tok, c)
         else:
             from ..ops.window_attention import plain_window_attention_xla
 
             out = plain_window_attention_xla(
-                qw.reshape(b * l, nx * ny, t_tok, c),
-                kw.reshape(b * l, l, nx * ny, t_tok, c),
-                vw.reshape(b * l, l, nx * ny, t_tok, c),
+                qw.reshape(b * r, nx * ny, t_tok, c),
+                kw.reshape(b * r, l, nx * ny, t_tok, c),
+                vw.reshape(b * r, l, nx * ny, t_tok, c),
                 bias_h,
-                mw.reshape(b * l, l, nx * ny, t_tok).astype(cdt),
+                mw.reshape(b * r, l, nx * ny, t_tok).astype(cdt),
                 heads, d,
-            ).reshape(b, l, nx, ny, t_tok, c)
+            ).reshape(b, r, nx, ny, t_tok, c)
 
         out = _window_merge(out, win, self.style, h, w)
-        out = HeteroDense(self.dim, self.num_types, name="to_out")(out, mode)
+        out = HeteroDense(self.dim, self.num_types,
+                          name="to_out")(out, mode[:, :r])
         out = out.astype(jnp.float32)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
@@ -293,8 +297,9 @@ class HeteroFusionBlock(nn.Module):
     compute_dtype: str = "float32"
 
     def _phase(self, style, name, x, mode, pairwise, agent_mask,
-               deterministic, pair_mask):
+               deterministic, pair_mask, receivers=None):
         cdt = jnp.dtype(self.compute_dtype)
+        r = x.shape[1] if receivers is None else receivers
         x_n = HeteroLayerNorm(name=f"{name}_norm")(x, mode)
         msg = HeteroWindowAttention(
             dim=self.input_dim,
@@ -306,20 +311,27 @@ class HeteroFusionBlock(nn.Module):
             downsample_rate=self.downsample_rate,
             compute_dtype=self.compute_dtype,
             name=f"{name}_attn",
-        )(x_n, mode, pairwise, agent_mask, deterministic, pair_mask)
-        msg = msg * agent_mask[:, :, None, None, None]
-        x = x + msg
-        ffn_in = HeteroLayerNorm(name=f"{name}_ffn_norm")(x, mode)
+        )(x_n, mode, pairwise, agent_mask, deterministic, pair_mask,
+          receivers)
+        msg = msg * agent_mask[:, :r, None, None, None]
+        x = x[:, :r] + msg
+        ffn_in = HeteroLayerNorm(name=f"{name}_ffn_norm")(x, mode[:, :r])
         ffn = HeteroFeedForward(
             self.mlp_dim, num_types=2, dropout=self.dropout,
             name=f"{name}_ffn",
-        )(ffn_in.astype(cdt), mode, deterministic)
+        )(ffn_in.astype(cdt), mode[:, :r], deterministic)
         x = x + ffn.astype(jnp.float32)
         return x
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
-                 deterministic: bool = True, pair_mask=None):
+                 deterministic: bool = True, pair_mask=None,
+                 receivers: int | None = None):
+        """receivers restricts the BLOCK OUTPUT to the first I agents —
+        valid only when later stages consume no other agent (the last
+        fusion iteration feeding the ego head).  In sequential mode the
+        local phase stays full (the grid phase's keys read every agent's
+        post-local features); only the final phase is restricted."""
         if pair_mask is None:
             pair_mask = pairwise_roi_mask(
                 pairwise, agent_mask, x.shape[2:4],
@@ -328,13 +340,15 @@ class HeteroFusionBlock(nn.Module):
             x = self._phase("local", "window", x, mode, pairwise,
                             agent_mask, deterministic, pair_mask)
             x = self._phase("grid", "grid", x, mode, pairwise, agent_mask,
-                            deterministic, pair_mask)
+                            deterministic, pair_mask, receivers)
             return x
         if self.architect_mode == "parallel":
             x_local = self._phase("local", "window", x, mode, pairwise,
-                                  agent_mask, deterministic, pair_mask)
+                                  agent_mask, deterministic, pair_mask,
+                                  receivers)
             x_global = self._phase("grid", "grid", x, mode, pairwise,
-                                   agent_mask, deterministic, pair_mask)
+                                   agent_mask, deterministic, pair_mask,
+                                   receivers)
             return SplitAttn(self.input_dim)([x_local, x_global])
         raise ValueError(f"unknown architect_mode {self.architect_mode!r}")
 
@@ -365,9 +379,17 @@ class HeteroFusion(nn.Module):
         pair_mask = pairwise_roi_mask(
             pairwise, agent_mask, x.shape[2:4],
             st.get("voxel_size", [0.4])[0], st.get("downsample_rate", 4))
-        for _ in range(cfg["num_iters"]):
+        # the last iteration computes only the ego receiver — every
+        # later stage (mlp head, decoder) reads agent 0 alone, so the
+        # other receivers' final updates are dead work (numerically
+        # identical ego output; reference takes x[:, 0] the same way)
+        ego_only = cfg.get("ego_only_last", True)
+        n_iters = cfg["num_iters"]
+        for it in range(n_iters):
+            last = it == n_iters - 1
             x = block(x, mode, pairwise, agent_mask, deterministic,
-                      pair_mask)
+                      pair_mask, receivers=1 if (last and ego_only)
+                      else None)
         ego = x[:, :1]  # (B, 1, H, W, C)
         ego = HeteroFeedForward(blk["input_dim"], num_types=2,
                                 name="mlp_head")(ego, mode[:, :1])

@@ -227,10 +227,11 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
 
 
 @partial(jax.jit, static_argnames=("discrete_ratio", "downsample_rate",
-                                   "interpret"))
+                                   "interpret", "num_receivers"))
 def pallas_pair_warp(src_typed, pairwise, mode,
                      discrete_ratio: float, downsample_rate: float,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     num_receivers: int | None = None):
     """Warp typed sender maps into every receiver's frame.
 
     src_typed: (B, TY, J, H, W, Ck) — per-receiver-type sender maps
@@ -238,13 +239,24 @@ def pallas_pair_warp(src_typed, pairwise, mode,
     mapping j's frame into i's; mode: (B, L) receiver type in [0, TY).
     Returns (B, I, J, H, W, Ck) = for each receiver i, sender j's map
     warped into i's frame, reading the variant src_typed[b, mode_i].
+
+    num_receivers restricts the receiver axis to the first I agents
+    (e.g. I=1 for the ego-only final fusion phase); senders stay full.
     """
     bsz, ty_count, l, h, w, ck = src_typed.shape
     assert h == w and h % TILE == 0 and h >= TS, (h, w)
     coef, origins, rtype = _prep_affines(
         pairwise, mode, (h, w), discrete_ratio, downsample_rate)
     xt, yt = w // TILE, h // TILE
-    n = bsz * l
+    n_recv = l if num_receivers is None else num_receivers
+    if n_recv != l:
+        # receiver-major first axis: (B*L, ...) -> (B, L, ...) slice
+        coef = coef.reshape(bsz, l, l, 8)[:, :n_recv].reshape(
+            bsz * n_recv, l, 8)
+        origins = origins.reshape(bsz, l, l, xt, yt, 2)[:, :n_recv]
+        origins = origins.reshape(bsz * n_recv, l, xt, yt, 2)
+        rtype = rtype.reshape(bsz, l)[:, :n_recv].reshape(-1)
+    n = bsz * n_recv
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # coef, origins, rtype
@@ -262,7 +274,7 @@ def pallas_pair_warp(src_typed, pairwise, mode,
     precision = (jax.lax.Precision.HIGHEST
                  if src_typed.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-    kernel = partial(_warp_kernel, big_l=l, precision=precision)
+    kernel = partial(_warp_kernel, big_l=n_recv, precision=precision)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -271,42 +283,45 @@ def pallas_pair_warp(src_typed, pairwise, mode,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coef, origins, rtype, src_typed)
-    return out.reshape(bsz, l, l, h, w, ck)
+    return out.reshape(bsz, n_recv, l, h, w, ck)
 
 
 def pair_warp_xla(src_typed, pairwise, mode, discrete_ratio,
-                  downsample_rate):
+                  downsample_rate, num_receivers=None):
     """Oracle / grad path: type-gather + MXU separable warp."""
     from .shear_warp import warp_bev_mxu
 
     bsz, ty_count, l, h, w, ck = src_typed.shape
-    ridx = mode[:, :, None, None, None, None].astype(jnp.int32)
+    r = l if num_receivers is None else num_receivers
+    ridx = mode[:, :r, None, None, None, None].astype(jnp.int32)
     typed = jnp.take_along_axis(src_typed, ridx, axis=1)  # (B, I, J, ...)
-    t_ij = jnp.swapaxes(pairwise, 1, 2)
+    t_ij = jnp.swapaxes(pairwise, 1, 2)[:, :r]
     return warp_bev_mxu(
-        typed.reshape(bsz * l, l, h, w, ck),
-        t_ij.reshape(bsz * l, l, 4, 4),
+        typed.reshape(bsz * r, l, h, w, ck),
+        t_ij.reshape(bsz * r, l, 4, 4),
         discrete_ratio, downsample_rate,
-    ).reshape(bsz, l, l, h, w, ck)
+    ).reshape(bsz, r, l, h, w, ck)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_pair_warp(src_typed, pairwise, mode, discrete_ratio,
-                    downsample_rate):
+                    downsample_rate, num_receivers=None):
     """Pallas forward, XLA-recompute backward."""
     return pallas_pair_warp(src_typed, pairwise, mode, discrete_ratio,
-                            downsample_rate)
+                            downsample_rate,
+                            num_receivers=num_receivers)
 
 
-def _fpw_fwd(src_typed, pairwise, mode, dr, ds):
-    return (pallas_pair_warp(src_typed, pairwise, mode, dr, ds),
+def _fpw_fwd(src_typed, pairwise, mode, dr, ds, nr):
+    return (pallas_pair_warp(src_typed, pairwise, mode, dr, ds,
+                             num_receivers=nr),
             (src_typed, pairwise, mode))
 
 
-def _fpw_bwd(dr, ds, res, g):
+def _fpw_bwd(dr, ds, nr, res, g):
     src_typed, pairwise, mode = res
-    _, vjp = jax.vjp(lambda s: pair_warp_xla(s, pairwise, mode, dr, ds),
-                     src_typed)
+    _, vjp = jax.vjp(
+        lambda s: pair_warp_xla(s, pairwise, mode, dr, ds, nr), src_typed)
     return (*vjp(g), None, None)
 
 

@@ -41,50 +41,23 @@ def _hat_matrix(coords, size: int, dtype):
     return w.astype(dtype)
 
 
-def _warp_projective_one(src_in, h, dsize, dtype):
-    """One factorization order: pass 1 resamples src_in ROWS (v) per
-    column u, pass 2 resamples columns (u) per dst row."""
+def _projective_passes(src_in, h, dsize, dtype):
+    """One factorization order, split at the pass boundary: returns
+    (tmp (N, Y', U, C), s2 (N, Y', X', U)) so callers can either finish
+    the contraction directly or fold per-destination-pixel weights into
+    s2 first (``warp_projective_reduce``)."""
     rdim, cdim = src_in.shape[1:3]
-    hd, wd = dsize
-    h00, h01, h02 = h[:, 0, 0], h[:, 0, 1], h[:, 0, 2]
-    h10, h11, h12 = h[:, 1, 0], h[:, 1, 1], h[:, 1, 2]
-    h20, h21, h22 = h[:, 2, 0], h[:, 2, 1], h[:, 2, 2]
-
-    ys = jnp.arange(hd, dtype=jnp.float32)
-    xs = jnp.arange(wd, dtype=jnp.float32)
-    us = jnp.arange(cdim, dtype=jnp.float32)
-
-    def bc(a):  # (N,) -> (N, 1, 1)
-        return a[:, None, None]
-
-    # pass 1: v(y', u) over every src_in column u
-    denom_x = bc(h00) - us[None, None, :] * bc(h20)  # (N, 1, U)
-    safe_dx = jnp.where(jnp.abs(denom_x) < 1e-6,
-                        jnp.where(denom_x < 0, -1e-6, 1e-6), denom_x)
-    num_x = (us[None, None, :] * (bc(h21) * ys[None, :, None] + bc(h22))
-             - bc(h01) * ys[None, :, None] - bc(h02))
-    xprime = num_x / safe_dx  # (N, Y', U)
-    wproj = (bc(h20) * xprime + bc(h21) * ys[None, :, None] + bc(h22))
-    safe_w = jnp.where(jnp.abs(wproj) < 1e-6, 1e-6, wproj)
-    vcoord = (bc(h10) * xprime + bc(h11) * ys[None, :, None]
-              + bc(h12)) / safe_w  # (N, Y', U)
-    # taps landing on the anti-podal (behind-camera) branch of the
-    # x'(u) hyperbola contribute nothing (same w > 0 rule as point
-    # sampling)
-    vcoord = jnp.where(wproj > 1e-6, vcoord, -1e9)
-    s1 = _hat_matrix(jnp.swapaxes(vcoord, 1, 2), rdim, dtype)
+    s1, s2 = _projective_matrices(h, (rdim, cdim), dsize, dtype)
     # s1: (N, U, Y', V); src_in: (N, V, U, C)
     tmp = jnp.einsum("nuyv,nvuc->nyuc", s1, src_in,
                      preferred_element_type=jnp.float32).astype(dtype)
+    return tmp, s2
 
-    # pass 2: u(y', x')
-    w2 = (bc(h20) * xs[None, None, :] + bc(h21) * ys[None, :, None]
-          + bc(h22))  # (N, Y', X')
-    safe_w2 = jnp.where(jnp.abs(w2) < 1e-6, 1e-6, w2)
-    ucoord = (bc(h00) * xs[None, None, :] + bc(h01) * ys[None, :, None]
-              + bc(h02)) / safe_w2
-    ucoord = jnp.where(w2 > 1e-6, ucoord, -1e9)  # behind camera -> zero
-    s2 = _hat_matrix(ucoord, cdim, dtype)  # (N, Y', X', U)
+
+def _warp_projective_one(src_in, h, dsize, dtype):
+    """One factorization order: pass 1 resamples src_in ROWS (v) per
+    column u, pass 2 resamples columns (u) per dst row."""
+    tmp, s2 = _projective_passes(src_in, h, dsize, dtype)
     out = jnp.einsum("nyxu,nyuc->nyxc", s2, tmp,
                      preferred_element_type=jnp.float32)
     return out.astype(dtype)
@@ -129,6 +102,133 @@ def warp_projective_mxu(src, h33, dsize):
     q_b = jnp.abs(bc(h[:, 1, 0]) - v * bc(h[:, 2, 0]))
     pick_a = (q_a >= q_b)[..., None]
     return jnp.where(pick_a, out_a, out_b)
+
+
+def _order_pick(h, dsize):
+    """Per-destination-pixel factorization-order choice (see
+    ``warp_projective_mxu``): True where order A (row-major) is at least
+    as well conditioned.  h: (N, 3, 3) -> (N, Hd, Wd) bool."""
+    hd, wd = dsize
+    ys = jnp.arange(hd, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(wd, dtype=jnp.float32)[None, None, :]
+
+    def bc(a):
+        return a[:, None, None]
+
+    w = bc(h[:, 2, 0]) * xs + bc(h[:, 2, 1]) * ys + bc(h[:, 2, 2])
+    safe_w = jnp.where(jnp.abs(w) < 1e-6, 1e-6, w)
+    u = (bc(h[:, 0, 0]) * xs + bc(h[:, 0, 1]) * ys
+         + bc(h[:, 0, 2])) / safe_w
+    v = (bc(h[:, 1, 0]) * xs + bc(h[:, 1, 1]) * ys
+         + bc(h[:, 1, 2])) / safe_w
+    q_a = jnp.abs(bc(h[:, 0, 0]) - u * bc(h[:, 2, 0]))
+    q_b = jnp.abs(bc(h[:, 1, 0]) - v * bc(h[:, 2, 0]))
+    return q_a >= q_b
+
+
+def warp_projective_reduce(src, h33, dsize, weights):
+    """Fused weighted reduction over warp hypotheses:
+
+        out[n] = sum_k weights[n, k] * warp_projective_mxu(src_k, H_nk)
+
+    src: (N, Ks, Hs, Ws, C) source maps; h33: (N, K, 3, 3) with
+    K % Ks == 0 — each source map serves K // Ks consecutive hypotheses
+    (e.g. one camera feature map warped at several height planes);
+    weights: (N, K, Hd, Wd) per-destination-pixel hypothesis weights.
+    Returns (N, Hd, Wd, C).
+
+    Numerically equal to materializing every per-hypothesis warp and
+    weighted-summing (the oracle path in PlanarLiftCrossAttention /
+    tests), but the (N, K, Hd, Wd, C) destination tensors never exist:
+    the weights — and the per-pixel conditioning order pick — are folded
+    into pass 2's banded matrix, and (hypothesis, source-column) contract
+    jointly in one batched MXU matmul per order."""
+    n, ks, hs, ws, c = src.shape
+    k = h33.shape[1]
+    rep = k // ks
+    hd, wd = dsize
+    assert hs == ws and k % ks == 0
+    dtype = src.dtype
+
+    hf = h33.reshape(n * k, 3, 3).astype(jnp.float32)
+    h_sw = jnp.stack([hf[:, 1], hf[:, 0], hf[:, 2]], axis=1)
+    srcf = src.reshape(n * ks, hs, ws, c)
+
+    tmp_a, s2_a = _projective_passes_rep(srcf, hf, dsize, dtype, rep)
+    tmp_b, s2_b = _projective_passes_rep(
+        jnp.swapaxes(srcf, 1, 2), h_sw, dsize, dtype, rep)
+
+    pick_a = _order_pick(hf, dsize).reshape(n, k, hd, wd)
+    wgt = weights.astype(jnp.float32)
+    w_a = (wgt * pick_a).astype(dtype)[..., None]        # (N, K, Y, X, 1)
+    w_b = (wgt * (1.0 - pick_a)).astype(dtype)[..., None]
+
+    u_cnt = s2_a.shape[-1]
+    s2_a = s2_a.reshape(n, k, hd, wd, u_cnt) * w_a
+    s2_b = s2_b.reshape(n, k, hd, wd, u_cnt) * w_b
+    tmp_a = tmp_a.reshape(n, k, hd, u_cnt, c)
+    tmp_b = tmp_b.reshape(n, k, hd, u_cnt, c)
+
+    out = (jnp.einsum("nkyxu,nkyuc->nyxc", s2_a, tmp_a,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("nkyxu,nkyuc->nyxc", s2_b, tmp_b,
+                        preferred_element_type=jnp.float32))
+    return out.astype(dtype)
+
+
+def _projective_passes_rep(src_in, h, dsize, dtype, rep):
+    """_projective_passes with h covering ``rep`` hypotheses per source
+    map (src_in: (N, V, U, C), h: (N*rep, 3, 3)); the source broadcast
+    happens inside the pass-1 einsum, never materialized."""
+    if rep == 1:
+        return _projective_passes(src_in, h, dsize, dtype)
+    n = src_in.shape[0]
+    # build s1/s2 for all N*rep homographies against a dummy src shape
+    rdim, cdim = src_in.shape[1:3]
+    hd, wd = dsize
+    s1, s2 = _projective_matrices(h, (rdim, cdim), dsize, dtype)
+    tmp = jnp.einsum("nruyv,nvuc->nryuc",
+                     s1.reshape(n, rep, *s1.shape[1:]), src_in,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return tmp.reshape(n * rep, hd, cdim, -1), s2
+
+
+def _projective_matrices(h, ssize, dsize, dtype):
+    """The two banded interpolation matrices of ``_projective_passes``
+    without the contraction: s1 (N, U, Y', V), s2 (N, Y', X', U)."""
+    rdim, cdim = ssize
+    hd, wd = dsize
+    h00, h01, h02 = h[:, 0, 0], h[:, 0, 1], h[:, 0, 2]
+    h10, h11, h12 = h[:, 1, 0], h[:, 1, 1], h[:, 1, 2]
+    h20, h21, h22 = h[:, 2, 0], h[:, 2, 1], h[:, 2, 2]
+    ys = jnp.arange(hd, dtype=jnp.float32)
+    xs = jnp.arange(wd, dtype=jnp.float32)
+    us = jnp.arange(cdim, dtype=jnp.float32)
+
+    def bc(a):
+        return a[:, None, None]
+
+    denom_x = bc(h00) - us[None, None, :] * bc(h20)
+    safe_dx = jnp.where(jnp.abs(denom_x) < 1e-6,
+                        jnp.where(denom_x < 0, -1e-6, 1e-6), denom_x)
+    num_x = (us[None, None, :] * (bc(h21) * ys[None, :, None] + bc(h22))
+             - bc(h01) * ys[None, :, None] - bc(h02))
+    xprime = num_x / safe_dx
+    wproj = (bc(h20) * xprime + bc(h21) * ys[None, :, None] + bc(h22))
+    safe_w = jnp.where(jnp.abs(wproj) < 1e-6, 1e-6, wproj)
+    vcoord = (bc(h10) * xprime + bc(h11) * ys[None, :, None]
+              + bc(h12)) / safe_w
+    vcoord = jnp.where(wproj > 1e-6, vcoord, -1e9)
+    s1 = _hat_matrix(jnp.swapaxes(vcoord, 1, 2), rdim, dtype)
+
+    w2 = (bc(h20) * xs[None, None, :] + bc(h21) * ys[None, :, None]
+          + bc(h22))
+    safe_w2 = jnp.where(jnp.abs(w2) < 1e-6, 1e-6, w2)
+    ucoord = (bc(h00) * xs[None, None, :] + bc(h01) * ys[None, :, None]
+              + bc(h02)) / safe_w2
+    ucoord = jnp.where(w2 > 1e-6, ucoord, -1e9)
+    s2 = _hat_matrix(ucoord, cdim, dtype)
+    return s1, s2
 
 
 def warp_projective_gather(src, h33, dsize):

@@ -60,3 +60,25 @@ def test_kernel_exact_angles_and_identity():
     for i in range(4):
         np.testing.assert_allclose(
             got[0, i, i], np.asarray(src[0, mode[0, i], i]), atol=2e-4)
+
+
+def test_kernel_receiver_subset():
+    """num_receivers=1 (the ego-only final fusion phase) must equal the
+    full warp's first receiver row, in both the kernel and the oracle."""
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.normal(size=(B, 2, L, H, W, CK))
+                      .astype(np.float32))
+    pair = rigid_pairwise(rng)
+    mode = jnp.asarray(rng.integers(0, 2, (B, L)))
+
+    full = np.asarray(pallas_pair_warp(src, pair, mode, 0.4, 2.0,
+                                       interpret=True))
+    ego = np.asarray(pallas_pair_warp(src, pair, mode, 0.4, 2.0,
+                                      interpret=True, num_receivers=1))
+    assert ego.shape == (B, 1, L, H, W, CK)
+    np.testing.assert_allclose(ego, full[:, :1], atol=1e-5)
+
+    ego_xla = np.asarray(pair_warp_xla(src, pair, mode, 0.4, 2.0,
+                                       num_receivers=1))
+    full_xla = np.asarray(pair_warp_xla(src, pair, mode, 0.4, 2.0))
+    np.testing.assert_allclose(ego_xla, full_xla[:, :1], atol=1e-5)

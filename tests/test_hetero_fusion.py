@@ -198,3 +198,29 @@ def test_hmvit_end_to_end_forward_and_grad():
         if top in groups:
             groups[top] = max(groups[top], float(np.abs(g).max()))
     assert all(v > 0 for v in groups.values()), groups
+
+
+def test_ego_only_last_iteration_identical():
+    """The receiver-restricted final phase must not change the ego
+    output: with the same params, ego_only_last True/False agree
+    bit-for-bit (the other receivers' final updates are dead work)."""
+    x, mode, pair, amask = make_inputs(seed=3, mode=[[1, 0, 1]])
+    amask = amask.at[:, -1].set(0.0)
+    c = x.shape[-1]
+    for arch in ("sequential", "parallel"):
+        def cfg(ego):
+            return {"num_iters": 2, "ego_only_last": ego,
+                    "hetero_fusion_block": {
+                        "spatial_transform": {"downsample_rate": 2,
+                                              "voxel_size": [0.4, 0.4, 4]},
+                        "architect_mode": arch, "input_dim": c,
+                        "mlp_dim": c, "window_size": 4, "dim_head": 16,
+                        "drop_out": 0.0}}
+
+        mod_full = HeteroFusion(cfg(False))
+        mod_ego = HeteroFusion(cfg(True))
+        v = mod_full.init(jax.random.key(0), x, mode, pair, amask)
+        out_full = mod_full.apply(v, x, mode, pair, amask)
+        out_ego = mod_ego.apply(v, x, mode, pair, amask)
+        np.testing.assert_allclose(np.asarray(out_full),
+                                   np.asarray(out_ego), atol=1e-6)

@@ -78,3 +78,45 @@ def test_camera_like_homographies(seed):
     diff = np.abs(got - want)
     assert diff.max() < 0.25, diff.max()
     assert diff.mean() < 2e-3
+
+
+def _camera_homographies(rng, n, k):
+    """Plausible BEV->image homographies: perspective rows + rotation."""
+    hs = []
+    for _ in range(n * k):
+        ang = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        h = np.array([[c * 2.0, -s * 2.0, rng.uniform(-5, 5)],
+                      [s * 2.0, c * 2.0, rng.uniform(-5, 5)],
+                      [rng.uniform(-0.02, 0.02),
+                       rng.uniform(-0.02, 0.02),
+                       rng.uniform(0.8, 1.2)]], np.float32)
+        hs.append(h)
+    return np.stack(hs).reshape(n, k, 3, 3)
+
+
+def test_weighted_reduce_matches_per_hypothesis_warps():
+    """warp_projective_reduce == sum_k w_k * warp_projective_mxu_k,
+    including the shared-source (rep > 1) layout and fully-invisible
+    pixels (zero weights)."""
+    from hmvit_tpu.ops.projective_warp import warp_projective_reduce
+
+    rng = np.random.default_rng(1)
+    n, ks, rep, hs_, c = 2, 3, 2, 24, 8
+    k = ks * rep
+    dsize = (16, 16)
+    src = jnp.asarray(smooth_map(rng, n * ks, hs_, hs_, c)).reshape(
+        n, ks, hs_, hs_, c)
+    h = jnp.asarray(_camera_homographies(rng, n, k))
+    w = rng.uniform(0, 1, (n, k, *dsize)).astype(np.float32)
+    w[:, :, :2] = 0.0  # fully-unweighted rows
+    w = jnp.asarray(w)
+
+    got = warp_projective_reduce(src, h, dsize, w)
+
+    want = 0.0
+    for kk in range(k):
+        per = warp_projective_mxu(src[:, kk // rep], h[:, kk], dsize)
+        want = want + w[:, kk, :, :, None] * per
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
