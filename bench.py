@@ -39,12 +39,13 @@ PROD_CFG = {
         "shrink_header": {"kernal_size": [3], "stride": [2], "padding": [1],
                           "dim": [256], "input_dim": 384},
     },
-    # production camera branch: ResNet50 backbone (stride-8 features of
-    # the 4x 512^2 images) + BEVFormer-style planar-lift encoder at the
-    # reference's native 128^2 x 256 BEV (reference:
+    # production camera branch: ResNet50 + FPN trunk (strides 8/16/32,
+    # finest level feeds the lift) + BEVFormer-style planar-lift encoder
+    # at the reference's native 128^2 x 256 BEV (reference:
     # opencood/hypes_yaml/opcl/subbevformer_resnet.py:24-41)
     "camera": {"encoder": "bevformer", "lift": "planar",
-               "backbone": "resnet50", "id_pick": [2],
+               "backbone": "resnet50", "id_pick": [2, 3, 4],
+               "fpn": True, "fpn_channels": 256,
                "dim": 256, "bev_size": 128, "out_dim": 256,
                "num_layers": 3, "heads": 8, "window": 8,
                "num_points_in_pillar": 4, "decoder_layers": 0,
@@ -95,8 +96,11 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
         max_points=max_points, image_size=image_size, num_cams=4,
         camera_ratio=0.5, ego_mode="mixed", lidar_range=PROD_RANGE,
     )
-    batch["mode"][:, 0] = 1
-    batch["mode"][:, 1] = 0  # guarantee mixed modalities
+    # canonical mixed fleet: alternating lidar/camera over the real
+    # agents (ratio 0.5); padded slots are lidar by convention
+    for i in range(num_agents):
+        batch["mode"][:, i] = (i + 1) % 2
+    n_cam = int((batch["mode"][0, :num_agents] == 0).sum())
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     model = HMViT(PROD_CFG)
@@ -115,9 +119,16 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
         batch = {k: (to_bf16(v) if k not in geom else v)
                  for k, v in batch.items()}
 
+    # serving shape buckets: the camera encoder runs on exactly the
+    # fleet's camera count and the padded 5th slot is sliced away —
+    # identical numerics to run-both (tested), identical semantics to
+    # the reference's per-modality row split, one compiled program per
+    # (n_cam, n_agents) bucket
     @jax.jit
     def forward(variables, batch):
-        return model.apply(variables, batch, train=False)
+        return model.apply(variables, batch, train=False,
+                           camera_bucket=n_cam,
+                           active_agents=num_agents)
 
     # NOTE: through the remote-TPU tunnel in this environment,
     # block_until_ready returns before execution completes; a host

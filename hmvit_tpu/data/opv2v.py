@@ -479,7 +479,9 @@ def _empty_frame(max_cav, max_points, image_size, max_objects) -> dict:
         "intrinsics": np.tile(np.eye(3, dtype=np.float32),
                               (max_cav, 4, 1, 1)),
         "extrinsics": np.tile(eye4, (max_cav, 4, 1, 1)),
-        "mode": np.zeros(max_cav, np.int32),
+        # padded slots count as lidar: empty point sets are a cheap
+        # all-masked pillar pass, and serving camera-buckets stay tight
+        "mode": np.ones(max_cav, np.int32),
         "agent_mask": np.zeros(max_cav, np.float32),
         # (velocity/30, time-delay frames, is-infrastructure) per CAV
         # (reference: mixed/intermediate_fusion_dataset.py:386-388)

@@ -130,6 +130,9 @@ def make_hetero_batch(
             mode[0] = 0
         elif ego_mode == "lidar":
             mode[0] = 1
+        # padded slots count as lidar (empty point sets are one cheap
+        # all-masked pillar pass; keeps serving camera-buckets honest)
+        mode[num_agents:] = 1
 
         points = np.zeros((max_cav, max_points, 4), np.float32)
         points_mask = np.zeros((max_cav, max_points), np.float32)

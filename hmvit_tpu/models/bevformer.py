@@ -293,7 +293,17 @@ class BEVFormerEncoder(nn.Module):
         feats = make_image_backbone(cfg)(
             images.reshape(n * m, img_h, img_w, 3).astype(cdt), train)
         if isinstance(feats, (list, tuple)):
-            feats = feats[-1]
+            if cfg.get("fpn"):
+                from .resnet import FPN
+
+                # top-down pyramid over the picked stages; the finest
+                # level (stride of id_pick[0], enriched by all coarser
+                # semantics) feeds the planar lift — the FPN role in the
+                # reference's ResNet50+FPN BEVFormer trunk
+                feats = FPN(out_channels=cfg.get("fpn_channels", 256),
+                            name="fpn")(feats, train)[0]
+            else:
+                feats = feats[-1]
         fh, fw = feats.shape[1:3]
         cam_feats = feats.reshape(n, m, fh, fw, -1)
 

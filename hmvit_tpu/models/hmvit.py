@@ -78,33 +78,69 @@ class HMViT(nn.Module):
     config: dict
 
     @nn.compact
-    def __call__(self, batch: dict, train: bool = False):
+    def __call__(self, batch: dict, train: bool = False,
+                 camera_bucket: int | None = None,
+                 active_agents: int | None = None):
+        """camera_bucket / active_agents are SERVING shape buckets:
+
+        - ``active_agents`` statically slices the agent axis to the
+          first A slots (trailing slots must be padding, which the data
+          layer guarantees — RSUs/pads go last).
+        - ``camera_bucket`` runs the camera encoder on exactly that many
+          slots: agent rows are gathered camera-first (stable argsort on
+          mode), encoded compactly, and scattered back.  Equivalent to
+          the reference's boolean row-split (base_camera_lidar_
+          intermediate.py:19-65) with a static bucket size; numerically
+          identical to the run-both default as long as the bucket >= the
+          true camera count.  None (training default) runs both encoders
+          on every slot for a mix-independent trace.
+        """
         cfg = self.config
+        if active_agents is not None:
+            sl = {"mode", "agent_mask", "points", "points_mask", "camera",
+                  "intrinsics", "extrinsics"}
+            batch = {k: (v[:, :active_agents] if k in sl else v)
+                     for k, v in batch.items()}
+            batch["pairwise_t_matrix"] = \
+                batch["pairwise_t_matrix"][:, :active_agents,
+                                           :active_agents]
         mode = batch["mode"].astype(jnp.int32)  # (B, L)
         agent_mask = batch["agent_mask"].astype(jnp.float32)  # (B, L)
         pairwise = batch["pairwise_t_matrix"]  # (B, L, L, 4, 4)
         b, l = mode.shape
 
-        # --- LiDAR branch on every slot (empty point sets for camera
-        # agents cost one all-masked pillar pass, traded for a static
-        # single-program graph)
+        lidar_enc = PointPillarEncoder(cfg["lidar"], name="lidar_encoder")
+        camera_enc = make_camera_encoder(cfg["camera"])
         points = batch["points"].reshape(b * l, *batch["points"].shape[2:])
         pmask = batch["points_mask"].reshape(b * l, -1)
-        lidar_bev = PointPillarEncoder(cfg["lidar"],
-                                       name="lidar_encoder")(points, pmask,
-                                                             train)
+        cams = batch["camera"].reshape(b * l, *batch["camera"].shape[2:])
+        intr = batch["intrinsics"].reshape(
+            b * l, *batch["intrinsics"].shape[2:])
+        extr = batch["extrinsics"].reshape(
+            b * l, *batch["extrinsics"].shape[2:])
 
-        # --- Camera branch on every slot
-        cams = batch["camera"]
-        cam_bev = make_camera_encoder(cfg["camera"])(
-            cams.reshape(b * l, *cams.shape[2:]),
-            batch["intrinsics"].reshape(b * l, *batch["intrinsics"].shape[2:]),
-            batch["extrinsics"].reshape(b * l, *batch["extrinsics"].shape[2:]),
-            train,
-        )
-
-        is_lidar = (mode.reshape(-1) == 1)[:, None, None, None]
-        x = jnp.where(is_lidar, lidar_bev, cam_bev)
+        if camera_bucket is None:
+            # --- both encoders on every slot (static single-program
+            # graph; empty point sets for camera agents are one
+            # all-masked pillar pass)
+            lidar_bev = lidar_enc(points, pmask, train)
+            cam_bev = camera_enc(cams, intr, extr, train)
+            is_lidar = (mode.reshape(-1) == 1)[:, None, None, None]
+            x = jnp.where(is_lidar, lidar_bev, cam_bev)
+        else:
+            # --- serving bucket: cameras gathered first, encoded
+            # compactly, scattered back; remaining slots take the lidar
+            # path (padding slots carry empty point sets)
+            nc = camera_bucket
+            order = jnp.argsort(mode.reshape(-1), stable=True)
+            cam_idx = order[:nc]
+            lid_idx = order[nc:]
+            cam_bev = camera_enc(cams[cam_idx], intr[cam_idx],
+                                 extr[cam_idx], train)
+            lidar_bev = lidar_enc(points[lid_idx], pmask[lid_idx], train)
+            hwc = cam_bev.shape[1:]
+            x = jnp.zeros((b * l, *hwc), cam_bev.dtype)
+            x = x.at[cam_idx].set(cam_bev).at[lid_idx].set(lidar_bev)
 
         if cfg.get("compression", 0):
             x = NaiveCompressor(x.shape[-1], cfg["compression"])(x, train)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 from flax import linen as nn
 
 
@@ -94,3 +95,28 @@ class ResNetEncoder(nn.Module):
 
         picked = [outs[i - 1] for i in self.id_pick]
         return picked[0] if len(picked) == 1 else picked
+
+
+class FPN(nn.Module):
+    """Top-down feature pyramid: lateral 1x1 projections, nearest
+    upsample + add, 3x3 smoothing (the mmdet FPN the reference's
+    BEVFormer camera branch runs on ResNet50 outputs, reference:
+    opencood/hypes_yaml/opcl/subbevformer_resnet.py:32-41).
+
+    Input: multi-scale feature list ordered fine -> coarse (ResNet
+    id_pick order).  Returns the list of pyramid levels in the same
+    order; callers that feed a single-level consumer take ``[0]`` (the
+    finest level, enriched by every coarser stage)."""
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        lats = [nn.Conv(self.out_channels, (1, 1), name=f"lateral{i}")(f)
+                for i, f in enumerate(feats)]
+        tops = [lats[-1]]
+        for lat in lats[-2::-1]:
+            up = jax.image.resize(tops[-1], lat.shape, "nearest")
+            tops.append(lat + up)
+        tops = tops[::-1]  # fine -> coarse
+        return [nn.Conv(self.out_channels, (3, 3), name=f"smooth{i}")(t)
+                for i, t in enumerate(tops)]

@@ -224,3 +224,33 @@ def test_ego_only_last_iteration_identical():
         out_ego = mod_ego.apply(v, x, mode, pair, amask)
         np.testing.assert_allclose(np.asarray(out_full),
                                    np.asarray(out_ego), atol=1e-6)
+
+
+def test_serving_bucket_matches_run_both():
+    """camera_bucket + active_agents serving specialization must produce
+    the same output as the run-both-encoders default."""
+    from hmvit_tpu.data.synthetic import make_hetero_batch
+    from hmvit_tpu.models.hmvit import HMViT
+
+    from tiny_cfg import RANGE, TINY_CFG
+
+    batch, _ = make_hetero_batch(
+        seed=7, batch_size=1, max_cav=4, num_agents=3, max_points=2048,
+        image_size=32, num_cams=4, camera_ratio=0.5, ego_mode="mixed",
+        lidar_range=RANGE)
+    batch["mode"][:, 0] = 1
+    batch["mode"][:, 1] = 0
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    ncam = int((batch["mode"][0, :3] == 0).sum())
+
+    model = HMViT(TINY_CFG)
+    v = model.init(jax.random.key(0), jb, train=False)
+    base = model.apply(v, jb, train=False)
+    bucketed = model.apply(v, jb, train=False, camera_bucket=ncam,
+                           active_agents=3)
+    np.testing.assert_allclose(np.asarray(base["psm"]),
+                               np.asarray(bucketed["psm"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(base["rm"]),
+                               np.asarray(bucketed["rm"]),
+                               atol=1e-5, rtol=1e-5)

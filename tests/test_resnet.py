@@ -63,3 +63,41 @@ def test_vovnet_stage_shapes(arch, chans):
     g = jax.grad(loss)(v["params"])
     assert sum(float(jnp.abs(t).sum())
                for t in jax.tree_util.tree_leaves(g)) > 0
+
+
+def test_fpn_pyramid_and_planar_lift_integration():
+    """FPN returns one enriched map per level (fine->coarse) and the
+    bevformer planar path consumes the finest level when fpn is on."""
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.bevformer import BEVFormerEncoder
+    from hmvit_tpu.models.resnet import FPN
+
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.normal(size=(2, 16 // s, 16 // s, 8 * s))
+                         .astype(np.float32)) for s in (1, 2, 4)]
+    fpn = FPN(out_channels=16)
+    v = fpn.init(jax.random.key(0), feats)
+    outs = fpn.apply(v, feats)
+    assert [o.shape for o in outs] == [(2, 16, 16, 16), (2, 8, 8, 16),
+                                       (2, 4, 4, 16)]
+    # coarse features must reach the fine level through the top-down path
+    feats2 = [feats[0], feats[1], feats[2] + 5.0]
+    outs2 = fpn.apply(v, feats2)
+    assert np.abs(np.asarray(outs2[0] - outs[0])).max() > 1e-4
+
+    cfg = {"encoder": "bevformer", "lift": "planar", "backbone": "resnet18",
+           "id_pick": [2, 3], "fpn": True, "fpn_channels": 16, "dim": 16,
+           "bev_size": 8, "out_dim": 16, "num_layers": 1, "heads": 2,
+           "window": 4, "num_points_in_pillar": 2, "decoder_layers": 0,
+           "bev_range": 20.0}
+    enc = BEVFormerEncoder(cfg)
+    imgs = jnp.asarray(rng.normal(size=(1, 2, 64, 64, 3)).astype(np.float32))
+    intr = jnp.tile(jnp.asarray(np.diag([32.0, 32.0, 1.0]).astype(
+        np.float32)), (1, 2, 1, 1))
+    extr = jnp.tile(jnp.eye(4, dtype=jnp.float32), (1, 2, 1, 1))
+    var = enc.init(jax.random.key(0), imgs, intr, extr, False)
+    bev = enc.apply(var, imgs, intr, extr, False)
+    assert bev.shape == (1, 8, 8, 16)
+    assert np.isfinite(np.asarray(bev)).all()
+    assert any("fpn" in k for k in var["params"])
