@@ -6,6 +6,7 @@ before the warp == W applied per pair after windowing."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hmvit_tpu.models.hetero_fusion import (
     HeteroWindowAttention,
@@ -111,6 +112,7 @@ def typed_reference(params, x, mode, pairwise, agent_mask, style):
     return out
 
 
+@pytest.mark.slow
 def test_folded_module_matches_typed_reference():
     x, mode, pairwise, agent_mask = make_inputs()
     for style in ("local", "grid"):

@@ -78,6 +78,7 @@ def test_fcooper_is_masked_max():
                                np.asarray(x.max(axis=1)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_v2xvit_consumes_prior_encoding():
     """(velocity, time-delay, infra) must actually influence the fused
     map: RTE delay embedding + infra-as-third-type + channel concat

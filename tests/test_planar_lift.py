@@ -7,6 +7,7 @@ cells: a pinhole camera looking along +x sees a ground marker at
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hmvit_tpu.models.bevformer import (
     PlanarLiftCrossAttention,
@@ -27,6 +28,7 @@ def pinhole(img, yaw_deg=0.0, height=1.9):
     return k.astype(np.float32), ext.astype(np.float32)
 
 
+@pytest.mark.slow
 def test_ground_marker_lands_at_correct_bev_cell():
     img, fdim = 64, 64
     bev, rng_half = 32, 16.0  # 1 m cells
@@ -72,6 +74,7 @@ def test_ground_marker_lands_at_correct_bev_cell():
     assert mag[:, : bev // 2 - 2].max() < 1e-4
 
 
+@pytest.mark.slow
 def test_lift_modes_share_interface():
     from hmvit_tpu.models.bevformer import BEVFormerEncoder
 

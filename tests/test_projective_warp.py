@@ -42,6 +42,7 @@ def test_90deg_swap_branch():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_camera_like_homographies(seed):
     """Ground-plane homographies from synthetic pinhole cameras: the

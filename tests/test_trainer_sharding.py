@@ -98,6 +98,7 @@ def test_loss_decreases_under_dp(setup):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(setup):
     from hmvit_tpu.train.checkpointing import (
         find_last_step,

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hmvit_tpu.ops.window_attention import (
     hetero_window_attention,
@@ -27,6 +28,7 @@ def make_inputs(seed=0):
     return tuple(map(jnp.asarray, (q, k, v, w_att, w_msg, bias, mask)))
 
 
+@pytest.mark.slow
 def test_kernel_matches_xla_oracle():
     args = make_inputs()
     want = np.asarray(
