@@ -124,11 +124,14 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     # identical numerics to run-both (tested), identical semantics to
     # the reference's per-modality row split, one compiled program per
     # (n_cam, n_agents) bucket
+    ego_modality = int(batch["mode"][0, 0])
+
     @jax.jit
     def forward(variables, batch):
         return model.apply(variables, batch, train=False,
                            camera_bucket=n_cam,
-                           active_agents=num_agents)
+                           active_agents=num_agents,
+                           static_ego_modality=ego_modality)
 
     # NOTE: through the remote-TPU tunnel in this environment,
     # block_until_ready returns before execution completes; a host

@@ -55,18 +55,33 @@ class HeteroDecoder(nn.Module):
     use_upsample: bool = False
 
     @nn.compact
-    def __call__(self, x, ego_mode, train: bool = False):
-        # x: (B, H, W, C); ego_mode: (B,) int
-        cam = NaiveDecoder(self.num_layer, self.num_ch_dec,
-                           use_upsample=self.use_upsample,
-                           name="camera_decoder")(x, train)
-        cam_psm, cam_rm = DetectionHead(self.anchor_number,
-                                        name="camera_head")(cam)
-        lid = NaiveDecoder(self.num_layer, self.num_ch_dec,
-                           use_upsample=self.use_upsample,
-                           name="lidar_decoder")(x, train)
-        lid_psm, lid_rm = DetectionHead(self.anchor_number,
-                                        name="lidar_head")(lid)
+    def __call__(self, x, ego_mode, train: bool = False,
+                 static_ego_modality: int | None = None):
+        # x: (B, H, W, C); ego_mode: (B,) int.  static_ego_modality is a
+        # serving hint: when the whole batch's ego modality is known at
+        # trace time (one compiled program per ego_mode bucket), only
+        # that branch's decoder+head runs — the reference dispatches the
+        # same way dynamically (hetero_decoder.py:44-77).
+        def cam_branch():
+            cam = NaiveDecoder(self.num_layer, self.num_ch_dec,
+                               use_upsample=self.use_upsample,
+                               name="camera_decoder")(x, train)
+            return DetectionHead(self.anchor_number,
+                                 name="camera_head")(cam)
+
+        def lid_branch():
+            lid = NaiveDecoder(self.num_layer, self.num_ch_dec,
+                               use_upsample=self.use_upsample,
+                               name="lidar_decoder")(x, train)
+            return DetectionHead(self.anchor_number,
+                                 name="lidar_head")(lid)
+
+        if static_ego_modality == 0 and not train:
+            return cam_branch()
+        if static_ego_modality == 1 and not train:
+            return lid_branch()
+        cam_psm, cam_rm = cam_branch()
+        lid_psm, lid_rm = lid_branch()
         is_lidar = (ego_mode == 1)[:, None, None, None]
         psm = jnp.where(is_lidar, lid_psm, cam_psm)
         rm = jnp.where(is_lidar, lid_rm, cam_rm)
@@ -80,7 +95,8 @@ class HMViT(nn.Module):
     @nn.compact
     def __call__(self, batch: dict, train: bool = False,
                  camera_bucket: int | None = None,
-                 active_agents: int | None = None):
+                 active_agents: int | None = None,
+                 static_ego_modality: int | None = None):
         """camera_bucket / active_agents are SERVING shape buckets:
 
         - ``active_agents`` statically slices the agent axis to the
@@ -170,7 +186,7 @@ class HMViT(nn.Module):
             num_layer=dec["num_layer"],
             num_ch_dec=tuple(dec["num_ch_dec"]),
             anchor_number=dec["anchor_number"],
-        )(ego, mode[:, 0], train)
+        )(ego, mode[:, 0], train, static_ego_modality)
 
         return {"psm": psm.transpose(0, 3, 1, 2),
                 "rm": rm.transpose(0, 3, 1, 2)}

@@ -232,15 +232,32 @@ def stage_backbone(compute_dtype="float32", img=512):
     print(f"resnet50 x20@{img} {compute_dtype}: {ms:.2f} ms")
 
 
-def stage_fusion(compute_dtype="float32"):
+def stage_pairwarp(dtype=jnp.bfloat16, l=L):
+    """Pallas fused pair warp kernel alone (typed K/V, all receivers)."""
+    from hmvit_tpu.ops.fused_warp import pallas_pair_warp
+
+    key = jax.random.key(7)
+    kv = jax.random.normal(key, (B, 2, l, H, W, 2 * C), dtype)
+    pair = rand_pairwise(key, l=l)
+    mode = jnp.asarray(np.arange(l)[None] % 2)
+
+    @jax.jit
+    def run(kv, pair, mode):
+        return pallas_pair_warp(kv, pair, mode, 0.4, 4.0)
+
+    ms = timeit(run, kv, pair, mode, iters=10)
+    print(f"pallas_pair_warp L={l} {np.dtype(dtype).name}: {ms:.2f} ms")
+
+
+def stage_fusion(compute_dtype="float32", l=L):
     """Full 2-iteration HeteroFusion stack at production shapes."""
     from hmvit_tpu.models.hetero_fusion import HeteroFusion
 
     key = jax.random.key(6)
-    x = jax.random.normal(key, (B, L, H, W, C), jnp.float32)
-    mode = jnp.array([[1, 0, 1, 0, 1]])
-    pair = rand_pairwise(key)
-    amask = jnp.ones((B, L))
+    x = jax.random.normal(key, (B, l, H, W, C), jnp.float32)
+    mode = jnp.asarray((np.arange(l)[None] + 1) % 2)
+    pair = rand_pairwise(key, l=l)
+    amask = jnp.ones((B, l))
     cfg = {"num_iters": 2,
            "hetero_fusion_block": {
                "spatial_transform": {"downsample_rate": 4,
@@ -256,7 +273,7 @@ def stage_fusion(compute_dtype="float32"):
         return mod.apply(v, x, mode, pair, amask)
 
     ms = timeit(run, variables, x, mode, pair, amask, iters=10)
-    print(f"fusion 2-iter {compute_dtype}: {ms:.2f} ms")
+    print(f"fusion 2-iter L={l} {compute_dtype}: {ms:.2f} ms")
 
 
 STAGES = {
@@ -275,6 +292,9 @@ STAGES = {
                          stage_backbone("float32")),
     "fusion": lambda: (stage_fusion("bfloat16"),
                        stage_fusion("float32")),
+    "fusion4": lambda: (stage_fusion("bfloat16", l=4),),
+    "pairwarp": lambda: (stage_pairwarp(jnp.bfloat16, l=4),
+                         stage_pairwarp(jnp.bfloat16, l=5)),
 }
 
 

@@ -247,7 +247,8 @@ def test_serving_bucket_matches_run_both():
     v = model.init(jax.random.key(0), jb, train=False)
     base = model.apply(v, jb, train=False)
     bucketed = model.apply(v, jb, train=False, camera_bucket=ncam,
-                           active_agents=3)
+                           active_agents=3,
+                           static_ego_modality=int(batch["mode"][0, 0]))
     np.testing.assert_allclose(np.asarray(base["psm"]),
                                np.asarray(bucketed["psm"]),
                                atol=1e-5, rtol=1e-5)
