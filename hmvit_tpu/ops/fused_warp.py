@@ -35,11 +35,31 @@ from jax.experimental.pallas import tpu as pltpu
 from .shear_warp import _pixel_affine
 from .warp import centered_affine, discretize_transform
 
-TILE = 32   # destination tile edge
-TS = 56     # source tile edge (>= 31*sqrt(2) + taps + margins)
+# destination tile edge / source tile edge (>= (TILE-1)*sqrt(2) + interp
+# taps + 8-alignment slack).  Large maps use 64/104 tiles with channel
+# chunking — 4x the matmul M and 2x the K of the 32/56 tiling, which
+# lifts MXU utilization; small maps keep 32/56 so TS fits the map.
+TILE = 32
+TS = 56
+TILE_BIG = 64
+TS_BIG = 104
+CKC = 128   # channel chunk for the big tiling
 
 
-def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate):
+def _tiling(h: int, ck: int):
+    """(tile, ts, ckc) for a map of edge h with ck channels.
+
+    Measured on v5e at production shapes (16 pairs, 128^2, 512 ch,
+    bf16): 32/56 whole-channel 5.4 ms; 64/104 with 128-ch chunks 9.1 ms;
+    a full-map per-pair variant 10.5 ms.  The cost is dominated by the
+    NUMBER of batched-matmul issues (one per source column / dest row),
+    which channel chunking multiplies — so the small tile with the full
+    channel width (large matmul N) wins and is used everywhere."""
+    return TILE, TS, ck
+
+
+def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
+                  tile=TILE, ts=TS):
     """Host/XLA-side geometry: per (b, i, j) post-swap affine coefficients
     and per-tile PHYSICAL source-tile origins.
 
@@ -73,23 +93,28 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate):
     v1 = det / safe
     ty_adj = ty - v0 * tx
 
+    # identity transforms (every i==j pair, plus co-located agents) take
+    # a copy fast path in the kernel — no interpolation matmuls
+    ident = ((jnp.abs(m00 - 1.0) + jnp.abs(m01) + jnp.abs(tx)
+              + jnp.abs(v0) + jnp.abs(v1 - 1.0) + jnp.abs(ty_adj)
+              < 1e-4) & jnp.logical_not(swap))
     coef = jnp.stack(
         [m00, m01, tx, v0, v1, ty_adj,
-         swap.astype(jnp.float32), jnp.zeros_like(m00)], axis=-1)
+         swap.astype(jnp.float32), ident.astype(jnp.float32)], axis=-1)
     coef = jnp.where(jnp.isfinite(coef), coef, 0.0)  # invalid pads
     coef = coef.reshape(b * l, l, 8)
 
     # per-tile src_in-space mins from the dst tile corner extremes
-    xt, yt = w // TILE, h // TILE
-    x0 = (jnp.arange(xt, dtype=jnp.float32) * TILE)[None, :, None]
-    y0 = (jnp.arange(yt, dtype=jnp.float32) * TILE)[None, None, :]
+    xt, yt = w // tile, h // tile
+    x0 = (jnp.arange(xt, dtype=jnp.float32) * tile)[None, :, None]
+    y0 = (jnp.arange(yt, dtype=jnp.float32) * tile)[None, None, :]
 
     def lin_min(c_x, c_y, c_0):
         cx = c_x[:, None, None]
         cy = c_y[:, None, None]
         return (c_0[:, None, None]
-                + jnp.minimum(cx * x0, cx * (x0 + TILE - 1))
-                + jnp.minimum(cy * y0, cy * (y0 + TILE - 1)))
+                + jnp.minimum(cx * x0, cx * (x0 + tile - 1))
+                + jnp.minimum(cy * y0, cy * (y0 + tile - 1)))
 
     mf = coef.reshape(-1, 8)
     min_col = lin_min(mf[:, 0], mf[:, 1], mf[:, 2])
@@ -103,11 +128,11 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate):
     min_row = jnp.where(jnp.isfinite(min_row), min_row, 0.0)
 
     # origins 8-aligned (TPU sublane tiling constrains dynamic DMA
-    # offsets); TS=56 absorbs support (<=49) + alignment slack (<=7)
+    # offsets); ts absorbs support + interp taps + alignment slack (<=7)
     orow_in = jnp.clip(
-        ((jnp.floor(min_row).astype(jnp.int32) - 2) // 8) * 8, 0, h - TS)
+        ((jnp.floor(min_row).astype(jnp.int32) - 2) // 8) * 8, 0, h - ts)
     ocol_in = jnp.clip(
-        ((jnp.floor(min_col).astype(jnp.int32) - 2) // 8) * 8, 0, w - TS)
+        ((jnp.floor(min_col).astype(jnp.int32) - 2) // 8) * 8, 0, w - ts)
     # physical map origins: when swapped, src_in rows are the map's W
     # axis, so (oH, oW) = (ocol_in, orow_in)
     sw = swap.reshape(-1)[:, None, None]
@@ -121,21 +146,25 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate):
 
 
 def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
-                 scratch, sem, *, big_l, precision):
+                 scratch, sem, *, big_l, precision, tile_e, ts_e, ckc):
     n = pl.program_id(0)
     j = pl.program_id(1)
     txi = pl.program_id(2)
     tyi = pl.program_id(3)
+    cki = pl.program_id(4)
     # linear program index; rightmost grid dim iterates fastest
     nn, nj = pl.num_programs(0), pl.num_programs(1)
     nx, ny = pl.num_programs(2), pl.num_programs(3)
-    lin = ((n * nj + j) * nx + txi) * ny + tyi
-    total = nn * nj * nx * ny
+    nck = pl.num_programs(4)
+    lin = (((n * nj + j) * nx + txi) * ny + tyi) * nck + cki
+    total = nn * nj * nx * ny * nck
     slot = jax.lax.rem(lin, 2)
 
     def start_fetch(lin_idx, slot_idx):
-        ty_ = jax.lax.rem(lin_idx, ny)
-        r = lin_idx // ny
+        ck_ = jax.lax.rem(lin_idx, nck)
+        r = lin_idx // nck
+        ty_ = jax.lax.rem(r, ny)
+        r = r // ny
         tx_ = jax.lax.rem(r, nx)
         r = r // nx
         j_ = jax.lax.rem(r, nj)
@@ -144,8 +173,9 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
         o_w = orig_ref[n_, j_, tx_, ty_, 1]
         pltpu.make_async_copy(
             src_ref.at[n_ // big_l, rtype_ref[n_], j_,
-                       pl.ds(pl.multiple_of(o_h, 8), TS),
-                       pl.ds(pl.multiple_of(o_w, 8), TS), :],
+                       pl.ds(pl.multiple_of(o_h, 8), ts_e),
+                       pl.ds(pl.multiple_of(o_w, 8), ts_e),
+                       pl.ds(pl.multiple_of(ck_ * ckc, ckc), ckc)],
             scratch.at[slot_idx], sem.at[slot_idx]).start()
 
     # cross-program double buffering: program 0 fetches its own tile;
@@ -168,17 +198,17 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
 
     dtype = out_ref.dtype
     # dst coordinates (2D iotas: TPU requires >=2D)
-    xs_row = ((txi * TILE).astype(jnp.float32)
-              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1).astype(jnp.float32))
-    ys_row = ((tyi * TILE).astype(jnp.float32)
-              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1).astype(jnp.float32))
-    ys_col = ((tyi * TILE).astype(jnp.float32)
-              + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0).astype(jnp.float32))
-    cells = jax.lax.broadcasted_iota(jnp.int32, (TS, 1), 0).astype(jnp.float32)
-    cells_row = jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1).astype(jnp.float32)
+    xs_row = ((txi * tile_e).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, tile_e), 1).astype(jnp.float32))
+    ys_row = ((tyi * tile_e).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, tile_e), 1).astype(jnp.float32))
+    ys_col = ((tyi * tile_e).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (tile_e, 1), 0).astype(jnp.float32))
+    cells = jax.lax.broadcasted_iota(jnp.int32, (ts_e, 1), 0).astype(jnp.float32)
+    cells_row = jax.lax.broadcasted_iota(jnp.int32, (1, ts_e), 1).astype(jnp.float32)
 
-    pltpu.make_async_copy(src_ref.at[0, 0, 0, pl.ds(0, TS),
-                                     pl.ds(0, TS), :],
+    pltpu.make_async_copy(src_ref.at[0, 0, 0, pl.ds(0, ts_e),
+                                     pl.ds(0, ts_e), pl.ds(0, ckc)],
                           scratch.at[slot], sem.at[slot]).wait()
     tile = scratch[slot]
 
@@ -213,13 +243,26 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
             precision=precision).astype(dtype)
         return out  # (y', x', ch)
 
-    @pl.when(jnp.logical_not(swap))
+    ident = coef_ref[n, j, 7] > 0.5
+
+    @pl.when(ident)
+    def _():
+        # identity pair (i == j and co-located agents): the destination
+        # tile IS a source sub-tile — one VMEM copy, no matmuls.
+        # dy/dx are 8-aligned (origins are 8-aligned, tile edges are 32)
+        dy = tyi * tile_e - o_h
+        dx = txi * tile_e - o_w
+        out_ref[0, 0] = scratch[slot,
+                                pl.ds(pl.multiple_of(dy, 8), tile_e),
+                                pl.ds(pl.multiple_of(dx, 8), tile_e), :]
+
+    @pl.when(jnp.logical_not(ident) & jnp.logical_not(swap))
     def _():
         # src_in = map orientation: rows are H, cols are W; the
         # column-leading operand is the transposed tile
         out_ref[0, 0] = two_pass(jnp.swapaxes(tile, 0, 1), o_h, o_w)
 
-    @pl.when(swap)
+    @pl.when(jnp.logical_not(ident) & swap)
     def _():
         # conditioning swap: src_in is the transposed map (rows = W,
         # cols = H) — column-leading src_in IS the tile as fetched
@@ -244,10 +287,12 @@ def pallas_pair_warp(src_typed, pairwise, mode,
     (e.g. I=1 for the ego-only final fusion phase); senders stay full.
     """
     bsz, ty_count, l, h, w, ck = src_typed.shape
-    assert h == w and h % TILE == 0 and h >= TS, (h, w)
+    tile_e, ts_e, ckc = _tiling(h, ck)
+    assert h == w and h % tile_e == 0 and h >= ts_e, (h, w)
     coef, origins, rtype = _prep_affines(
-        pairwise, mode, (h, w), discrete_ratio, downsample_rate)
-    xt, yt = w // TILE, h // TILE
+        pairwise, mode, (h, w), discrete_ratio, downsample_rate,
+        tile_e, ts_e)
+    xt, yt = w // tile_e, h // tile_e
     n_recv = l if num_receivers is None else num_receivers
     if n_recv != l:
         # receiver-major first axis: (B*L, ...) -> (B, L, ...) slice
@@ -260,21 +305,22 @@ def pallas_pair_warp(src_typed, pairwise, mode,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # coef, origins, rtype
-        grid=(n, l, xt, yt),
+        grid=(n, l, xt, yt, ck // ckc),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 1, TILE, TILE, ck),
-            lambda n, j, txi, tyi, *_: (n, j, tyi, txi, 0),
+            (1, 1, tile_e, tile_e, ckc),
+            lambda n, j, txi, tyi, cki, *_: (n, j, tyi, txi, cki),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, TS, TS, ck), src_typed.dtype),
+            pltpu.VMEM((2, ts_e, ts_e, ckc), src_typed.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     precision = (jax.lax.Precision.HIGHEST
                  if src_typed.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-    kernel = partial(_warp_kernel, big_l=n_recv, precision=precision)
+    kernel = partial(_warp_kernel, big_l=n_recv, precision=precision,
+                     tile_e=tile_e, ts_e=ts_e, ckc=ckc)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

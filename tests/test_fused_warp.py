@@ -82,3 +82,18 @@ def test_kernel_receiver_subset():
                                        num_receivers=1))
     full_xla = np.asarray(pair_warp_xla(src, pair, mode, 0.4, 2.0))
     np.testing.assert_allclose(ego_xla, full_xla[:, :1], atol=1e-5)
+
+
+def test_kernel_big_tiling():
+    """Maps >= 104 use the 64/104 tiling with channel chunking; must
+    still match the XLA oracle (2 chunks at CK=256)."""
+    rng = np.random.default_rng(7)
+    l2, h2, ck2 = 2, 128, 256
+    src = jnp.asarray(rng.normal(size=(1, 2, l2, h2, h2, ck2))
+                      .astype(np.float32))
+    pair = rigid_pairwise(rng, l=l2, max_t=20.0)
+    mode = jnp.asarray([[0, 1]])
+    want = np.asarray(pair_warp_xla(src, pair, mode, 0.4, 4.0))
+    got = np.asarray(pallas_pair_warp(src, pair, mode, 0.4, 4.0,
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
