@@ -92,10 +92,10 @@ class WindowSelfAttention(nn.Module):
         win = self.window
 
         qkv = nn.Dense(3 * self.dim, use_bias=False)(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        qw = _window_split(q, win, "local")
-        kw = _window_split(k, win, "local")
-        vw = _window_split(v, win, "local")
+        # the kv 2C slice stays contiguous from the Dense output — the
+        # fused kernel takes it concatenated (no separate K/V relayouts)
+        qw = _window_split(qkv[..., :c], win, "local")
+        kvw = _window_split(qkv[..., c:], win, "local")
         nx, ny, t = qw.shape[2], qw.shape[3], win * win
 
         table = self.param("rel_pos_bias", nn.initializers.normal(0.02),
@@ -111,8 +111,7 @@ class WindowSelfAttention(nn.Module):
 
             out = fused_plain_window_attention(
                 (qw * d ** -0.5).reshape(b * l, nx * ny, t, c),
-                kw.reshape(b * l, 1, nx * ny, t, c),
-                vw.reshape(b * l, 1, nx * ny, t, c),
+                kvw.reshape(b * l, 1, nx * ny, t, 2 * c),
                 bias_h,
                 jnp.ones((b * l, 1, nx * ny, t), qw.dtype),
                 self.heads, d,
@@ -122,7 +121,8 @@ class WindowSelfAttention(nn.Module):
                 return z.reshape(b, l, nx, ny, t, self.heads, d)
 
             qh = heads_split(qw) * d ** -0.5
-            kh, vh = heads_split(kw), heads_split(vw)
+            kh = heads_split(kvw[..., :c])
+            vh = heads_split(kvw[..., c:])
             sim = jnp.einsum("blxyihd,blxyjhd->blxyhij", qh, kh,
                              preferred_element_type=jnp.float32)
             sim = sim + bias_h[None, None, None, None]

@@ -198,8 +198,6 @@ class HeteroWindowAttention(nn.Module):
                 t_ij.reshape(b * r, l, 4, 4),
                 self.discrete_ratio, self.downsample_rate,
             ).reshape(b, r, l, h, w, 2 * c)
-        k_pair = kv_pair[..., :c]
-        v_pair = kv_pair[..., c:]  # (B, I, J, H, W, C)
 
         # combined ROI (nearest-warped ones) and agent-validity mask,
         # computed once per fusion stack and passed in
@@ -209,10 +207,12 @@ class HeteroWindowAttention(nn.Module):
                 self.discrete_ratio, self.downsample_rate)
         com_mask = pair_mask[:, :r]  # (B, I, H, W, J)
 
-        # window partition
+        # window partition; K/V stay concatenated as one 2C tensor all
+        # the way into the kernel (one relayout instead of two, and no
+        # channel-slice copies)
         qw = _window_split(q, win, self.style)  # (B, I, X, Y, T, C)
-        kw = _window_split(k_pair, win, self.style)  # (B, I, J, X, Y, T, C)
-        vw = _window_split(v_pair, win, self.style)
+        kvw = _window_split(kv_pair, win,
+                            self.style)  # (B, I, J, X, Y, T, 2C)
         # com_mask: (B, I, H, W, J) -> (B, I, J, H, W) -> windowed (…, T)
         mask_ij = jnp.moveaxis(com_mask, -1, 2)
         mw = _window_split(mask_ij[..., None], win, self.style)[..., 0]
@@ -238,8 +238,7 @@ class HeteroWindowAttention(nn.Module):
 
             out = fused_plain_window_attention(
                 qw.reshape(b * r, nx * ny, t_tok, c),
-                kw.reshape(b * r, l, nx * ny, t_tok, c),
-                vw.reshape(b * r, l, nx * ny, t_tok, c),
+                kvw.reshape(b * r, l, nx * ny, t_tok, 2 * c),
                 bias_h,
                 mw.reshape(b * r, l, nx * ny, t_tok).astype(cdt),
                 heads, d,
@@ -250,8 +249,8 @@ class HeteroWindowAttention(nn.Module):
 
             out = plain_window_attention_xla(
                 qw.reshape(b * r, nx * ny, t_tok, c),
-                kw.reshape(b * r, l, nx * ny, t_tok, c),
-                vw.reshape(b * r, l, nx * ny, t_tok, c),
+                kvw[..., :c].reshape(b * r, l, nx * ny, t_tok, c),
+                kvw[..., c:].reshape(b * r, l, nx * ny, t_tok, c),
                 bias_h,
                 mw.reshape(b * r, l, nx * ny, t_tok).astype(cdt),
                 heads, d,

@@ -82,3 +82,22 @@ def seg_iou(pred, target, num_classes: int = 2) -> dict:
         ious[c] = float(inter) / max(float(union), 1.0)
     ious["miou"] = float(np.mean([ious[c] for c in range(num_classes)]))
     return ious
+
+
+def seg_post_process(output: dict) -> dict:
+    """Softmax probabilities + argmax class maps for the seg heads
+    (reference: camera_bev_postprocessor.py:55-89 post_process_train).
+
+    output: dict with 'dynamic_seg' / 'static_seg' logits (..., H, W, C);
+    returns the dict extended with '<name>_prob' and '<name>_map'."""
+    import jax
+    import jax.numpy as jnp
+
+    out = dict(output)
+    for key, name in (("dynamic_seg", "dynamic"),
+                      ("static_seg", "static")):
+        if key in output:
+            prob = jax.nn.softmax(output[key], axis=-1)
+            out[f"{name}_prob"] = prob
+            out[f"{name}_map"] = jnp.argmax(prob, axis=-1)
+    return out

