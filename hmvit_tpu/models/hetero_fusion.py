@@ -160,23 +160,24 @@ class HeteroWindowAttention(nn.Module):
         # idx[tau, b, j] = tau * num_types + mode[b, j]
         taus = jnp.arange(self.num_types, dtype=mode.dtype)
         idx = taus[:, None, None] * self.num_types + mode[None]
-        w_att_t = rel_att.astype(cdt)[idx]  # (T, B, J, heads, d, d)
-        w_msg_t = rel_msg.astype(cdt)[idx]
+        # one stacked fold emitting the CONCATENATED [K|V] layout
+        # directly — a separate k2/v2 + concat materializes two extra
+        # (B, TY, J, H, W, C) relayout copies (~0.8 ms/phase measured)
+        rel = jnp.stack([rel_att, rel_msg], axis=1)  # (rel, 2, h, d, d)
+        w_t = rel.astype(cdt)[idx]  # (T, B, J, 2, heads, d, d)
 
-        kh = k.reshape(b, l, h, w, heads, d)
-        vh = v.reshape(b, l, h, w, heads, d)
-        # k2[b, tau, j, :, h, d] = sum_e W_att[tau*T+mode_j, h, d, e] k[b, j, :, h, e]
-        k2 = jnp.einsum("bjxyhe,tbjhde->btjxyhd", kh, w_att_t,
-                        preferred_element_type=jnp.float32).astype(cdt)
-        v2 = jnp.einsum("bjxyhe,tbjhde->btjxyhd", vh, w_msg_t,
-                        preferred_element_type=jnp.float32).astype(cdt)
-        k2 = k2.reshape(b, self.num_types, l, h, w, c)
-        v2 = v2.reshape(b, self.num_types, l, h, w, c)
+        kvh = jnp.stack([k, v], axis=-2).reshape(
+            b, l, h, w, 2, heads, d)
+        # kv2[b, tau, j, :, s, h, d] = sum_e W[s][tau*T+mode_j, h, d, e]
+        #                                    kv[b, j, :, s, h, e]
+        kv2 = jnp.einsum("bjxyshe,tbjshde->btjxyshd", kvh, w_t,
+                         preferred_element_type=jnp.float32).astype(cdt)
+        # (2, heads, d) flattens to [K-half | V-half] = 2C
+        kv2 = kv2.reshape(b, self.num_types, l, h, w, 2 * c)
 
         # Select each receiver's typed variant and warp sender j's K/V
         # into receiver i's frame as one concatenated 2C tensor.
         # transform[b, i, j] = pairwise[b, j, i] (j -> i).
-        kv2 = jnp.concatenate([k2, v2], axis=-1)  # (B, T, J, H, W, 2C)
         use_fused_warp = (
             self.use_pallas and jax.default_backend() == "tpu"
             and h == w and h % 32 == 0 and h >= 56)

@@ -143,6 +143,12 @@ class HMViT(nn.Module):
             cam_bev = camera_enc(cams, intr, extr, train)
             is_lidar = (mode.reshape(-1) == 1)[:, None, None, None]
             x = jnp.where(is_lidar, lidar_bev, cam_bev)
+        elif camera_bucket == 0:
+            # all-lidar fleet: the camera encoder never runs
+            x = lidar_enc(points, pmask, train)
+        elif camera_bucket >= l:
+            # all-camera fleet: the lidar encoder never runs
+            x = camera_enc(cams, intr, extr, train)
         else:
             # --- serving bucket: cameras gathered first, encoded
             # compactly, scattered back; remaining slots take the lidar

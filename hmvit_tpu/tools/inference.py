@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--save_npy", action="store_true")
     p.add_argument("--save_vis", action="store_true")
+    p.add_argument("--serving_buckets", action="store_true",
+                   help="bucketed serving dispatch: one compiled "
+                        "program per (camera count, fleet size, ego "
+                        "modality); identical outputs, faster on TPU")
     p.add_argument("--save_3d", action="store_true",
                    help="export an interactive 3D HTML sequence viewer "
                         "(the reference's o3d sequence viewer twin)")
@@ -80,7 +84,37 @@ def load_runnable(model_dir: str, example_batch):
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
     forward = jax.jit(lambda v, b: model.apply(v, b, train=False))
-    return forward, variables
+    return forward, variables, model
+
+
+def make_serving_forward(model):
+    """Bucketed serving dispatch (HMViT only): one compiled program per
+    (camera count, active agents, ego modality) bucket — the camera
+    encoder runs on exactly the fleet's camera slots and only the ego's
+    decoder branch runs.  Numerically identical to the plain forward
+    (tested in tests/test_hetero_fusion.py)."""
+    import functools
+
+    import jax
+
+    from ..models.hmvit import HMViT
+
+    if not isinstance(model, HMViT):
+        return None
+
+    @functools.lru_cache(maxsize=None)
+    def bucket(n_cam, n_active, ego_mode):
+        return jax.jit(lambda v, b: model.apply(
+            v, b, train=False, camera_bucket=n_cam,
+            active_agents=n_active, static_ego_modality=ego_mode))
+
+    def forward(v, b, frame):
+        n_active = max(int(np.asarray(frame["agent_mask"]).sum()), 1)
+        modes = np.asarray(frame["mode"])[:n_active]
+        return bucket(int((modes == 0).sum()), n_active,
+                      int(modes[0]))(v, b)
+
+    return forward
 
 
 def main(argv=None):
@@ -123,13 +157,17 @@ def main(argv=None):
                 if k not in ("object_ids", "to_ego")}
 
     example = dataset.collate_batch([dataset[0]])
-    forward, variables = load_runnable(args.model_dir, example)
+    forward, variables, model = load_runnable(args.model_dir, example)
+    serving_fwd = (make_serving_forward(model)
+                   if args.serving_buckets else None)
     models = {"default": (forward, variables)}
     if args.fusion_method == "late":
         if args.camera_model_dir:
-            models["camera"] = load_runnable(args.camera_model_dir, example)
+            models["camera"] = load_runnable(args.camera_model_dir,
+                                             example)[:2]
         if args.lidar_model_dir:
-            models["lidar"] = load_runnable(args.lidar_model_dir, example)
+            models["lidar"] = load_runnable(args.lidar_model_dir,
+                                            example)[:2]
 
     stat = E.new_result_stat(args.ap_mode)
     n_frames = len(dataset) if not args.max_frames else min(
@@ -167,7 +205,12 @@ def main(argv=None):
                 frame["agent_mask"][1:] = 0
                 frame["points_mask"][1:] = 0
                 frame["record_len"] = np.int32(1)
-            out = forward(variables, to_jnp(dataset.collate_batch([frame])))
+            jb = to_jnp(dataset.collate_batch([frame]))
+            if serving_fwd is not None and args.fusion_method == \
+                    "intermediate":
+                out = serving_fwd(variables, jb, frame)
+            else:
+                out = forward(variables, jb)
             corners, scores = pp.post_process(
                 {"ego": {"transformation_matrix": np.eye(4),
                          "anchor_box": anchors,
