@@ -111,13 +111,17 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
             return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
 
         variables = jax.tree_util.tree_map(to_bf16, variables)
-        # sensor data in bf16; calibration/geometry stays fp32 (pose
-        # matrices feed pixel-affine/homography math — the warp ops
-        # upcast internally, but quantizing the inputs loses real bits)
+        # camera pixels in bf16; calibration/geometry AND raw lidar
+        # points stay fp32 (bf16 coordinates quantize to ~0.4 m at
+        # 100 m range) — the pillar path casts its assembled features
+        # to bf16 instead (lidar compute_dtype below)
         geom = {"pairwise_t_matrix", "transformation_matrix",
-                "intrinsics", "extrinsics", "spatial_correction_matrix"}
+                "intrinsics", "extrinsics", "spatial_correction_matrix",
+                "points"}
         batch = {k: (to_bf16(v) if k not in geom else v)
                  for k, v in batch.items()}
+        PROD_CFG["lidar"]["compute_dtype"] = "bfloat16"
+        PROD_CFG["hetero_decoder"]["compute_dtype"] = "bfloat16"
 
     # serving shape buckets: the camera encoder runs on exactly the
     # fleet's camera count and the padded 5th slot is sliced away —

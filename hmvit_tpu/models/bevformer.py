@@ -287,7 +287,11 @@ class BEVFormerEncoder(nn.Module):
         heads = cfg.get("heads", 8)
         window = cfg.get("window", 8)
         bev_range = cfg.get("bev_range", 51.2)
-        cdt = jnp.dtype(cfg.get("compute_dtype", "float32"))
+        # compute dtype follows the input by default: a bf16 serving
+        # batch must not be silently upcast (an explicit "float32"
+        # config still forces fp32)
+        cdt = (jnp.dtype(cfg["compute_dtype"])
+               if "compute_dtype" in cfg else images.dtype)
         n, m, img_h, img_w, _ = images.shape
 
         feats = make_image_backbone(cfg)(

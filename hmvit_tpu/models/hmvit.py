@@ -188,6 +188,11 @@ class HMViT(nn.Module):
             )  # (B, H, W, C)
 
         dec = cfg["hetero_decoder"]
+        if dec.get("compute_dtype"):
+            # serving mixed precision: decoder convs at the serving
+            # dtype (heads' outputs are logits/deltas, converted by the
+            # host-side postprocess either way)
+            ego = ego.astype(jnp.dtype(dec["compute_dtype"]))
         psm, rm = HeteroDecoder(
             num_layer=dec["num_layer"],
             num_ch_dec=tuple(dec["num_ch_dec"]),

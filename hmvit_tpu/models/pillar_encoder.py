@@ -47,6 +47,11 @@ class PillarFeatureNet(nn.Module):
     # spconv-parity per-pillar point cap requires a global sort; without
     # it every in-range point participates (quality superset, no sort)
     enforce_cap: bool = True
+    # serving mixed precision: the voxelizer's coordinate math stays in
+    # the points dtype (keep points fp32 — bf16 coordinates quantize to
+    # ~0.4 m at 100 m range), and the assembled per-point FEATURES are
+    # cast here so the PFN/scatter/backbone run at this dtype
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -59,6 +64,8 @@ class PillarFeatureNet(nn.Module):
                          enforce_cap=self.enforce_cap)
         feats = pillar_point_features(info, self.use_absolute_xyz,
                                       self.with_distance)
+        if self.compute_dtype is not None:
+            feats = feats.astype(jnp.dtype(self.compute_dtype))
         keep = info["keep"]
 
         n_layers = len(self.num_filters)
@@ -202,6 +209,7 @@ class PointPillarEncoder(nn.Module):
             use_absolute_xyz=cfg["pillar_vfe"].get("use_absolute_xyz", True),
             with_distance=cfg["pillar_vfe"].get("with_distance", False),
             enforce_cap=cfg["pillar_vfe"].get("enforce_point_cap", True),
+            compute_dtype=cfg.get("compute_dtype"),
         )(points, points_mask, train)
 
         bb = cfg["base_bev_backbone"]

@@ -201,7 +201,7 @@ def _plain_kernel(q_ref, kv_ref, bias_ref, mask_ref, out_ref, *,
 @partial(jax.jit,
          static_argnames=("heads", "dim_head", "interpret", "w_block"))
 def plain_window_attention(q, kv, bias, mask, heads: int, dim_head: int,
-                           interpret: bool = False, w_block: int = 8):
+                           interpret: bool = False, w_block: int = 16):
     """Fused untyped multi-sender window attention.
 
     q: (N, W, T, C); kv: (N, J, W, T, 2C) — relation-transformed, warped
@@ -210,6 +210,10 @@ def plain_window_attention(q, kv, bias, mask, heads: int, dim_head: int,
     """
     n, w_cnt, t, c = q.shape
     j = kv.shape[1]
+    if q.dtype != jnp.bfloat16:
+        # fp32 operands double the per-program block bytes; 16 windows
+        # of 5-sender fp32 K/V overflow the 16 MB VMEM scoped budget
+        w_block = min(w_block, 8)
     while w_cnt % w_block:
         w_block //= 2
     grid = (n, w_cnt // w_block)

@@ -89,7 +89,7 @@ def main(argv=None):
     jb = {k: jnp.asarray(v) for k, v in batch.items()
           if k not in ("object_ids", "to_ego")}
 
-    forward, variables = load_runnable(args.model_dir, batch)
+    forward, variables, _ = load_runnable(args.model_dir, batch)
 
     n_params = count_params(variables["params"])
     flops = xla_flops(lambda v, b: forward(v, b), variables, jb)

@@ -113,8 +113,7 @@ def stage_attn_untyped(dtype=jnp.float32):
     key = jax.random.key(1)
     ks = jax.random.split(key, 8)
     q = jax.random.normal(ks[0], (n, wn, t, C), dtype)
-    k = jax.random.normal(ks[1], (n, L, wn, t, C), dtype)
-    v = jax.random.normal(ks[2], (n, L, wn, t, C), dtype)
+    kv = jax.random.normal(ks[1], (n, L, wn, t, 2 * C), dtype)
     bias = jax.random.normal(ks[5], (HEADS, t, t), dtype)
     mask = (jax.random.uniform(ks[6], (n, L, wn, t)) > 0.1).astype(dtype)
 
@@ -122,7 +121,7 @@ def stage_attn_untyped(dtype=jnp.float32):
     def run(*a):
         return window_attention(*a, heads=HEADS, dim_head=D)
 
-    ms = timeit(run, q, k, v, bias, mask)
+    ms = timeit(run, q, kv, bias, mask)
     print(f"attn_untyped pallas {np.dtype(dtype).name}: {ms:.2f} ms")
 
 
