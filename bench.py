@@ -74,7 +74,7 @@ PROD_CFG = {
 
 def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
          image_size: int = 512, max_points: int = 30000,
-         bf16: bool = True):
+         bf16: bool = True, batch_size: int = 1):
     import os
 
     import jax
@@ -92,15 +92,16 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     from hmvit_tpu.models.hmvit import HMViT
 
     batch, _ = make_hetero_batch(
-        seed=0, batch_size=1, max_cav=max_cav, num_agents=num_agents,
-        max_points=max_points, image_size=image_size, num_cams=4,
+        seed=0, batch_size=batch_size, max_cav=max_cav,
+        num_agents=num_agents, max_points=max_points,
+        image_size=image_size, num_cams=4,
         camera_ratio=0.5, ego_mode="mixed", lidar_range=PROD_RANGE,
     )
     # canonical mixed fleet: alternating lidar/camera over the real
     # agents (ratio 0.5); padded slots are lidar by convention
     for i in range(num_agents):
         batch["mode"][:, i] = (i + 1) % 2
-    n_cam = int((batch["mode"][0, :num_agents] == 0).sum())
+    n_cam = int((batch["mode"][:, :num_agents] == 0).sum())
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     model = HMViT(PROD_CFG)
@@ -152,9 +153,12 @@ def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     sync(out)
     dt = time.perf_counter() - t0
 
-    fps = iters / dt
+    fps = batch_size * iters / dt
+    tag = ("" if batch_size == 1
+           else f" (serving batch {batch_size})")
     print(json.dumps({
-        "metric": "frames/sec/chip 4-agent mixed-modality BEV inference",
+        "metric": "frames/sec/chip 4-agent mixed-modality BEV inference"
+                  + tag,
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ASSUMED_REFERENCE_FPS, 3),
@@ -167,4 +171,7 @@ if __name__ == "__main__":
     # bf16 is the serving default (TPU-standard inference numerics; the
     # reference's analogue is its fp16 AMP --half path).  Geometry/
     # calibration inputs stay fp32 either way.
-    main(bf16="--fp32" not in sys.argv)
+    bs = 1
+    if "--batch" in sys.argv:
+        bs = int(sys.argv[sys.argv.index("--batch") + 1])
+    main(bf16="--fp32" not in sys.argv, batch_size=bs)

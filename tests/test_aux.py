@@ -205,3 +205,20 @@ def test_seg_post_process():
     np.testing.assert_allclose(
         np.asarray(out["dynamic_map"]),
         np.asarray(out["dynamic_seg"]).argmax(-1))
+
+
+def test_vis_npy_renderer(tmp_path):
+    """vis_npy twin (reference: visualization/vis_npy.py): renders the
+    inference --save_npy dumps to pngs + an HTML sequence."""
+    from hmvit_tpu.visualization.vis_npy import render_npy_dir
+
+    box = np.array([[5.0, -3.0, 0.0, 4.0, 2.0, 1.5, 0.4]])
+    corners = B.boxes_to_corners_3d(box, "lwh")
+    npy_dir = tmp_path / "npy"
+    npy_dir.mkdir()
+    for i in range(2):
+        np.save(npy_dir / f"{i:04d}_pred.npy", corners + 0.3)
+        np.save(npy_dir / f"{i:04d}_gt.npy", corners)
+    paths = render_npy_dir(str(npy_dir))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    assert os.path.exists(str(npy_dir / "vis" / "sequence.html"))
