@@ -72,7 +72,7 @@ PROD_CFG = {
 }
 
 
-def main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
+def main(iters: int = 20, max_cav: int = 5, num_agents: int = 4,
          image_size: int = 512, max_points: int = 30000,
          bf16: bool = True, batch_size: int = 1):
     import os
