@@ -267,3 +267,68 @@ def test_hetero_attention_matches_reference():
     got = np.asarray(mod.apply({"params": p}, jnp.asarray(x),
                                jnp.asarray(mode), pairwise, agent_mask))
     np.testing.assert_allclose(got[:, 0], want, atol=3e-5, rtol=3e-5)
+
+
+def test_att_fusion_matches_reference():
+    """Reference AttFusion (opencood/models/fusion_modules/
+    self_attn.py:36-57): the reference attends with EVERY agent's row as
+    a query then keeps row 0 — identical to our ego-query formulation on
+    identity transforms (warping is a no-op there)."""
+    _install_reference()
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.fusion.basic import AttFusion
+
+    ref_mod = importlib.import_module(
+        "opencood.models.fusion_modules.self_attn")
+    rng = np.random.default_rng(0)
+    b, l, c, hw = 1, 3, 16, 8
+    x = rng.normal(size=(b * l, c, hw, hw)).astype(np.float32)
+
+    ref = ref_mod.AttFusion(c)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x),
+                   torch.tensor([l])).numpy()  # (B, C, H, W)
+
+    ours = AttFusion(dim=c, discrete_ratio=1.0, downsample_rate=1.0)
+    xj = jnp.asarray(x.reshape(b, l, c, hw, hw).transpose(0, 1, 3, 4, 2))
+    pairwise = jnp.tile(jnp.eye(4), (b, l, l, 1, 1))
+    amask = jnp.ones((b, l))
+    params = ours.init(jax.random.key(0), xj, None, pairwise, amask)
+    got = ours.apply(params, xj, None, pairwise, amask)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def test_f_cooper_matches_reference():
+    """Reference SpatialFusion max-fusion (opencood/models/
+    fusion_modules/f_cooper_fuse.py:15-41)."""
+    _install_reference()
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.fusion.basic import SpatialFusion
+
+    ref_mod = importlib.import_module(
+        "opencood.models.fusion_modules.f_cooper_fuse")
+    rng = np.random.default_rng(1)
+    b, l, c, hw = 1, 4, 8, 6
+    x = rng.normal(size=(b * l, c, hw, hw)).astype(np.float32)
+
+    ref = ref_mod.SpatialFusion()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.tensor([l])).numpy()
+
+    ours = SpatialFusion(discrete_ratio=1.0, downsample_rate=1.0)
+    xj = jnp.asarray(x.reshape(b, l, c, hw, hw).transpose(0, 1, 3, 4, 2))
+    pairwise = jnp.tile(jnp.eye(4), (b, l, l, 1, 1))
+    amask = jnp.ones((b, l))
+    params = ours.init(jax.random.key(0), xj, None, pairwise, amask)
+    got = ours.apply(params, xj, None, pairwise, amask)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
