@@ -255,3 +255,30 @@ def test_serving_bucket_matches_run_both():
     np.testing.assert_allclose(np.asarray(base["rm"]),
                                np.asarray(bucketed["rm"]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_serving_bucket_degenerate_fleets():
+    """All-lidar (camera_bucket=0) and all-camera (camera_bucket=L)
+    fleets skip the unused encoder yet match the run-both outputs."""
+    from hmvit_tpu.data.synthetic import make_hetero_batch
+    from hmvit_tpu.models.hmvit import HMViT
+
+    from tiny_cfg import RANGE, TINY_CFG
+
+    batch, _ = make_hetero_batch(
+        seed=11, batch_size=1, max_cav=3, num_agents=3, max_points=2048,
+        image_size=32, num_cams=4, camera_ratio=0.5, ego_mode="mixed",
+        lidar_range=RANGE)
+    model = HMViT(TINY_CFG)
+
+    for fleet_mode, bucket in ((1, 0), (0, 3)):
+        batch["mode"][:] = fleet_mode
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        v = model.init(jax.random.key(0), jb, train=False)
+        base = model.apply(v, jb, train=False)
+        got = model.apply(v, jb, train=False, camera_bucket=bucket,
+                          active_agents=3,
+                          static_ego_modality=fleet_mode)
+        np.testing.assert_allclose(np.asarray(base["psm"]),
+                                   np.asarray(got["psm"]),
+                                   atol=1e-5, rtol=1e-5)
