@@ -324,3 +324,156 @@ def hetero_window_attention_xla(q, k, v, w_att, w_msg, bias, mask,
     v_msg = jnp.einsum("njhde,njwshe->njwshd", w_msg, vh)
     out = jnp.einsum("njwhts,njwshd->nwthd", attn, v_msg)
     return out.reshape(n, w_cnt, t, heads * d)
+
+
+def _stripe_kernel(q_ref, kv_ref, bias_ref, mask_ref, out_ref, *,
+                   heads: int, dim_head: int, n_senders: int, win: int):
+    """LOCAL-style window attention on an 8-column stripe, read straight
+    from the (N, H, W, C) spatial layout.
+
+    Within a vertical stripe (all rows, ``win`` columns), every local
+    window's tokens are CONTIGUOUS rows — so the (windows, tokens)
+    arrangement is a free row-major reshape, never a transpose, and the
+    XLA window-split/merge relayout copies disappear entirely.
+
+    STATUS: interpret-verified against the split oracle, but NOT wired
+    into the model — Mosaic currently rejects the in-kernel
+    (H, win, C) -> (windows, T, C) regroup with "infer-vector-layout:
+    unsupported shape cast" on real TPUs, so the production path keeps
+    the windowed :func:`plain_window_attention`.  Re-wire when Mosaic
+    grows the relayout (the module-side change is a ~20-line branch in
+    HeteroWindowAttention; see PERF.md "Remaining ideas")."""
+    d = dim_head
+    c = heads * d
+    t = win * win
+    neg = jnp.asarray(-1e9, jnp.float32)
+    j = n_senders
+    h = q_ref.shape[1]
+    nw = h // win
+
+    q = q_ref[0].reshape(nw, t, c).astype(jnp.float32)
+    for hh in range(heads):
+        qh = q[:, :, hh * d:(hh + 1) * d]  # (nw, T, d)
+        bias_h = bias_ref[hh].astype(jnp.float32)  # (T, T)
+        sims = []
+        vs = []
+        for jj in range(j):
+            kvj = kv_ref[0, jj].reshape(nw, t, 2 * c)
+            kh = kvj[:, :, hh * d:(hh + 1) * d].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qh, kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (nw, T, T)
+            si = pl.program_id(1)
+            m = mask_ref[0, jj, si].reshape(nw, t).astype(jnp.float32)
+            s = jnp.where(m[:, None, :] > 0, s + bias_h[None], neg)
+            sims.append(s)
+            vs.append(kvj[:, :, c + hh * d:c + (hh + 1) * d].astype(
+                jnp.float32))
+        sim = jnp.concatenate(sims, axis=-1)  # (nw, T, J*T)
+        v_cat = jnp.concatenate(vs, axis=1)   # (nw, J*T, d)
+
+        mx = jnp.max(sim, axis=-1, keepdims=True)
+        ex = jnp.exp(sim - mx)
+        den = jnp.sum(ex, axis=-1, keepdims=True)
+        attn = ex / den
+        attn = jnp.where(mx <= neg / 2, jnp.zeros_like(attn), attn)
+
+        out = jax.lax.dot_general(
+            attn, v_cat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (nw, T, d)
+        out_ref[0, :, :, hh * d:(hh + 1) * d] = out.reshape(
+            h, win, d).astype(out_ref.dtype)
+
+
+@partial(jax.jit,
+         static_argnames=("win", "heads", "dim_head", "interpret"))
+def stripe_window_attention(q, kv, bias, mask, win: int, heads: int,
+                            dim_head: int, interpret: bool = False):
+    """LOCAL window attention over unsplit spatial tensors.
+
+    q: (N, H, W, C); kv: (N, J, H, W, 2C); bias: (heads, T, T);
+    mask: (N, J, H, W).  Returns (N, H, W, C) — the same numbers as
+    window-splitting + :func:`plain_window_attention` + merging, with
+    zero relayouts on either side of the kernel (the tiny mask is
+    repacked host-side into a (N, J, stripes, H*win) token layout that
+    satisfies the TPU block tiling rules).
+    """
+    n, h, w, c = q.shape
+    j = kv.shape[1]
+    assert h % win == 0 and w % win == 0
+    stripes = w // win
+    # (N, J, H, W) -> (N, J, stripes, H*win): stripe si's tokens in
+    # (window x, w1, w2) order — a cheap repack of a small tensor
+    mask_s = jnp.moveaxis(
+        mask.reshape(n, j, h, stripes, win), 3, 2
+    ).reshape(n, j, stripes, h * win)
+    grid = (n, stripes)
+    kernel = partial(_stripe_kernel, heads=heads, dim_head=dim_head,
+                     n_senders=j, win=win)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, win, c), lambda i, si: (i, 0, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, h, win, 2 * c),
+                         lambda i, si: (i, 0, 0, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, win * win, win * win),
+                         lambda i, si: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, stripes, h * win),
+                         lambda i, si: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, win, c),
+                               lambda i, si: (i, 0, si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), q.dtype),
+        interpret=interpret,
+    )(q, kv, bias, mask_s)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_stripe_window_attention(q, kv, bias, mask, win: int,
+                                  heads: int, dim_head: int):
+    """Pallas forward, XLA-recompute backward through the split oracle."""
+    return stripe_window_attention(q, kv, bias, mask, win=win,
+                                   heads=heads, dim_head=dim_head)
+
+
+def _fswa_fwd(q, kv, bias, mask, win, heads, dim_head):
+    out = stripe_window_attention(q, kv, bias, mask, win=win,
+                                  heads=heads, dim_head=dim_head)
+    return out, (q, kv, bias, mask)
+
+
+def _fswa_bwd(win, heads, dim_head, residuals, g):
+    q, kv, bias, mask = residuals
+    n, h, w, c = q.shape
+    j = kv.shape[1]
+    t = win * win
+
+    def split(z, ch):
+        # (N, [J,] H, W, ch) -> (N, [J,] W', T, ch), local style
+        lead = z.shape[:-3]
+        z = z.reshape(*lead, h // win, win, w // win, win, ch)
+        z = jnp.moveaxis(z, -3, -4)
+        return z.reshape(*lead, (h // win) * (w // win), t, ch)
+
+    def oracle(q_, kv_, bias_, mask_):
+        qw = split(q_, c)
+        kvw = split(kv_, 2 * c)
+        mw = split(mask_[..., None], 1)[..., 0]
+        out = plain_window_attention_xla(
+            qw, kvw[..., :c], kvw[..., c:], bias_, mw,
+            heads=heads, dim_head=dim_head)
+        out = out.reshape(n, h // win, w // win, win, win, c)
+        out = jnp.moveaxis(out, -4, -3)
+        return out.reshape(n, h, w, c)
+
+    _, vjp = jax.vjp(oracle, q, kv, bias, mask)
+    return vjp(g)
+
+
+fused_stripe_window_attention.defvjp(_fswa_fwd, _fswa_bwd)

@@ -118,3 +118,39 @@ def test_plain_kernel_bf16():
             cast(mask), heads=HEADS, dim_head=D,
             interpret=True)).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
+def test_stripe_kernel_matches_split_path():
+    """The stripe kernel on unsplit (N, H, W, C) tensors must equal
+    window-split -> plain kernel -> merge (local style), including
+    masked senders."""
+    from hmvit_tpu.ops.window_attention import stripe_window_attention
+
+    rng = np.random.default_rng(9)
+    n, j, h, w, c, win, heads = 2, 3, 16, 16, 64, 4, 4
+    d = c // heads
+    t = win * win
+    q = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(n, j, h, w, 2 * c))
+                     .astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(heads, t, t)).astype(np.float32))
+    mask = jnp.asarray(
+        (rng.uniform(size=(n, j, h, w)) > 0.2).astype(np.float32))
+
+    got = np.asarray(stripe_window_attention(
+        q, kv, bias, mask, win=win, heads=heads, dim_head=d,
+        interpret=True))
+
+    def split(z, ch):
+        lead = z.shape[:-3]
+        z2 = z.reshape(*lead, h // win, win, w // win, win, ch)
+        z2 = jnp.moveaxis(z2, -3, -4)
+        return z2.reshape(*lead, (h // win) * (w // win), t, ch)
+
+    out = plain_window_attention_xla(
+        split(q, c), split(kv, 2 * c)[..., :c],
+        split(kv, 2 * c)[..., c:], bias, split(mask[..., None], 1)[..., 0],
+        heads=heads, dim_head=d)
+    out = out.reshape(n, h // win, w // win, win, win, c)
+    want = np.asarray(jnp.moveaxis(out, -4, -3).reshape(n, h, w, c))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
