@@ -321,10 +321,87 @@ def gen_v2xt():
                        "xyz_std": 0.2, "ryp_std": 0.2}}))
 
 
+def gen_exact_twins():
+    """Exact-name twins for the remaining reference launch lines, so
+    every ``--hypes_yaml opencood/hypes_yaml/<family>/<name>.yaml``
+    ports verbatim (reference files cited per config)."""
+    # --- opcamera/fax.yaml + bevt_static.yaml: FAX ("fused transformer")
+    # single-vehicle seg (reference: opencood/hypes_yaml/opcamera/
+    # {fax,bevt_static}.yaml, core_method fax_fused_transformer)
+    cam_pp = postprocess_block(CAM_RANGE)
+    cam_pp["seg_gt_size"] = 256
+    for fname, tgt in (("fax", "dynamic"), ("bevt_static", "static")):
+        model = {"core_method": "fax_fused_transformer",
+                 "args": {"target": tgt, "camera": camera_args("fax")}}
+        cfg = base(fname, model, SEG_LOSS, "load_camera_params",
+                   fusion_ds="CamLateFusionDataset", rng=CAM_RANGE,
+                   ratio=1.0, ego="camera", extra=dict(SEG_EXT))
+        cfg["postprocess"] = dict(cam_pp)
+        write("opcamera", fname, cfg)
+
+    # --- opcamera/base_camera.yaml: model-less data-api demonstration
+    # (reference file says "only used for demonstration data api")
+    demo = base("base_camera", None, SEG_LOSS, "load_camera_params",
+                fusion_ds="CamLateFusionDataset", rng=CAM_RANGE,
+                ratio=1.0, ego="camera", extra=dict(SEG_EXT))
+    del demo["model"]
+    demo["postprocess"] = dict(cam_pp)
+    write("opcamera", "base_camera", demo)
+
+    # --- opcl exact-name twins (reference: opencood/hypes_yaml/opcl/)
+    grid = grid_of(RANGE, PILLAR_VOXEL)
+    largs = lidar_args(PILLAR_VOXEL, RANGE, grid)
+
+    def opcl_mixed(name, cm, enc, ratio, ego):
+        args = {"anchor_number": 2, "camera": camera_args(enc),
+                "lidar": largs, "compression": 0,
+                "spatial_transform": {"downsample_rate": 4,
+                                      "voxel_size": PILLAR_VOXEL},
+                "hetero_decoder": {"input_dim": 256, "num_layer": 2,
+                                   "num_ch_dec": [256, 256],
+                                   "anchor_number": 2}}
+        write("opcl", name,
+              base(name, {"core_method": cm, "args": args}, DET_LOSS,
+                   "load_camera_point_pillar_params", ratio=ratio,
+                   ego=ego))
+
+    # corpbevt.yaml -> point_pillar_cross_view_transformer_f_cooper
+    opcl_mixed("corpbevt", "point_pillar_cross_view_transformer_f_cooper",
+               "cvt", 0.5, "mixed")
+    # fax_att_fuse.yaml -> fax_point_pillar_att_fuse (all-camera fleet)
+    opcl_mixed("fax_att_fuse", "fax_point_pillar_att_fuse", "fax",
+               1.0, "camera")
+    # point_pillar_att_fuse.yaml -> bevformer_point_pillar_att_fuse
+    # (all-lidar fleet: the camera branch never activates)
+    opcl_mixed("point_pillar_att_fuse", "bevformer_point_pillar_att_fuse",
+               "bevformer", 0.0, "lidar")
+    # point_pillar_late_fusion.yaml -> single-agent point_pillar on the
+    # CamLi late-fusion data path
+    write("opcl", "point_pillar_late_fusion",
+          base("point_pillar_late_fusion",
+               {"core_method": "point_pillar",
+                "args": {"anchor_number": 2, "lidar": largs}},
+               DET_LOSS, "load_camera_point_pillar_params",
+               fusion_ds="CamLiLateFusionDataset", ratio=0.0,
+               ego="lidar"))
+
+    # --- visualization.yaml x2: model-less early-fusion data configs
+    # used only to drive the sequence renderer (reference:
+    # opencood/hypes_yaml/{opv2v,v2xt}/visualization.yaml)
+    for fam in ("opv2v", "v2xt"):
+        vis = base("visualization", None, DET_LOSS, "load_voxel_params",
+                   fusion_ds="EarlyFusionDataset",
+                   voxel=[0.4, 0.4, 0.4])
+        del vis["model"]
+        del vis["loss"]
+        write(fam, "visualization", vis)
+
+
 if __name__ == "__main__":
     gen_opv2v()
     gen_opcamera()
     gen_opcl()
     gen_v2xt()
+    gen_exact_twins()
     n = sum(len(fs) for _, _, fs in os.walk(HERE))
     print(f"hypes corpus generated under {HERE} ({n} files)")

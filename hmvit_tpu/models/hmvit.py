@@ -107,14 +107,20 @@ class HMViT(nn.Module):
           mode), encoded compactly, and scattered back.  Equivalent to
           the reference's boolean row-split (base_camera_lidar_
           intermediate.py:19-65) with a static bucket size; numerically
-          identical to the run-both default as long as the bucket >= the
-          true camera count.  None (training default) runs both encoders
-          on every slot for a mix-independent trace.
+          identical to the run-both default ONLY when the bucket equals
+          the batch's true camera count (or is 0 / >= the fleet size,
+          the degenerate all-lidar / all-camera programs).  With
+          ``bucket > true count`` the first ``bucket`` slots of the
+          mode-sorted order include lidar agents, which would silently
+          receive camera-encoded features — do NOT round buckets up.
+          The dispatcher in ``tools/inference.py`` always passes the
+          exact per-frame count.  None (training default) runs both
+          encoders on every slot for a mix-independent trace.
         """
         cfg = self.config
         if active_agents is not None:
             sl = {"mode", "agent_mask", "points", "points_mask", "camera",
-                  "intrinsics", "extrinsics"}
+                  "intrinsics", "extrinsics", "prior_encoding"}
             batch = {k: (v[:, :active_agents] if k in sl else v)
                      for k, v in batch.items()}
             batch["pairwise_t_matrix"] = \
@@ -161,7 +167,10 @@ class HMViT(nn.Module):
                                  extr[cam_idx], train)
             lidar_bev = lidar_enc(points[lid_idx], pmask[lid_idx], train)
             hwc = cam_bev.shape[1:]
-            x = jnp.zeros((b * l, *hwc), cam_bev.dtype)
+            # result_type matches the run-both path's jnp.where dtype
+            # promotion when the two encoders' compute dtypes differ
+            x = jnp.zeros((b * l, *hwc),
+                          jnp.result_type(cam_bev.dtype, lidar_bev.dtype))
             x = x.at[cam_idx].set(cam_bev).at[lid_idx].set(lidar_bev)
 
         if cfg.get("compression", 0):

@@ -278,7 +278,15 @@ def build_model(model_cfg: dict) -> nn.Module:
         return PointPillarDetector(args.get("lidar", args))
     if name in ("cross_view_transformer", "cvt_nofusion", "fax"):
         return CameraDetector(args)
-    if name in ("cvt_seg", "corpbevt_seg", "bev_seg"):
+    if name in ("cvt_seg", "corpbevt_seg", "bev_seg",
+                "fax_fused_transformer"):
+        # fax_fused_transformer is the reference core_method for the
+        # single-vehicle FAX seg models (opencood/models/
+        # fax_fused_transformer.py; hypes opcamera/{fax,bevt_static}.yaml)
+        if name == "fax_fused_transformer":
+            camera = dict(args.get("camera", {}))
+            camera.setdefault("encoder", "fax")
+            args = dict(args, camera=camera)
         return CameraSegmentor(args)
     if name in ("view_parse_network", "view_parse_network_ms",
                 "bev_swap"):

@@ -36,14 +36,10 @@ from .shear_warp import _pixel_affine
 from .warp import centered_affine, discretize_transform
 
 # destination tile edge / source tile edge (>= (TILE-1)*sqrt(2) + interp
-# taps + 8-alignment slack).  Large maps use 64/104 tiles with channel
-# chunking — 4x the matmul M and 2x the K of the 32/56 tiling, which
-# lifts MXU utilization; small maps keep 32/56 so TS fits the map.
+# taps + 8-alignment slack).  One tiling for all map sizes — see
+# _tiling's measurements for why the 64/104 + channel-chunk variant lost.
 TILE = 32
 TS = 56
-TILE_BIG = 64
-TS_BIG = 104
-CKC = 128   # channel chunk for the big tiling
 
 
 def _tiling(h: int, ck: int):

@@ -106,6 +106,14 @@ def shrink(params):
                               for p in ALL_YAMLS])
 def test_config_loads_and_builds(path):
     params = load_raw(path)
+    if "model" not in params:
+        # model-less data-api / visualization configs (reference:
+        # visualization.yaml, opcamera/base_camera.yaml)
+        assert os.path.basename(path) in ("visualization.yaml",
+                                          "base_camera.yaml")
+        assert params["fusion"]["core_method"]
+        assert params["postprocess"]["anchor_args"]["W"] > 0
+        return
     model = build_model(params["model"])
     assert model is not None
     assert params["loss"]["core_method"]
@@ -116,8 +124,10 @@ def unique_core_methods():
     seen = {}
     for path in ALL_YAMLS:
         with open(path) as f:
-            cm = yaml.safe_load(f)["model"]["core_method"]
-        seen.setdefault(cm, path)
+            model = yaml.safe_load(f).get("model")
+        if model is None:
+            continue
+        seen.setdefault(model["core_method"], path)
     return sorted(seen.items())
 
 

@@ -84,9 +84,11 @@ def test_kernel_receiver_subset():
     np.testing.assert_allclose(ego_xla, full_xla[:, :1], atol=1e-5)
 
 
-def test_kernel_big_tiling():
-    """Maps >= 104 use the 64/104 tiling with channel chunking; must
-    still match the XLA oracle (2 chunks at CK=256)."""
+def test_kernel_large_map():
+    """Large maps (128^2, 256 ch) at the production 32/56 tiling: many
+    tiles per map + multi-chunk DMA plumbing must match the XLA oracle.
+    (A 64/104 channel-chunked tiling was measured and dropped — see
+    ops/fused_warp.py::_tiling — so this covers the one real path.)"""
     rng = np.random.default_rng(7)
     l2, h2, ck2 = 2, 128, 256
     src = jnp.asarray(rng.normal(size=(1, 2, l2, h2, h2, ck2))
