@@ -28,8 +28,15 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # explicit symmetric padding: for stride > 1, XLA 'SAME' pads
+        # (0, 1) while the reference pads (1, 1) (ZeroPad2d before a
+        # padding-0 conv, base_bev_backbone.py:40-45) — same output
+        # size, half-pixel alignment difference.  Symmetric k//2 keeps
+        # golden weight-copy parity with the torch stacks.
+        p = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
                     use_bias=self.use_bias)(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          momentum=0.99)(x)
@@ -100,8 +107,13 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # symmetric k//2 padding (not XLA SAME) to keep strided-conv
+        # alignment identical to the reference's padding=1 torch convs
+        # (downsample_conv.py:21-24) — see ConvBNReLU for the rationale
+        p = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride))(x)
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)))(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (3, 3))(x)
         return nn.relu(x)

@@ -332,3 +332,258 @@ def test_f_cooper_matches_reference():
     got = ours.apply(params, xj, None, pairwise, amask)
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Lidar trunk golden parity: PillarVFE + PointPillarScatter +
+# BaseBEVBackbone + DownsampleConv executed directly with weights copied
+# into the JAX twins (VERDICT r2 Missing #2).
+
+def _numpy_voxelize(points, mask, voxel, pc_range, grid, max_pts=32):
+    """Reference-format voxelizer (spconv semantics: first-K in input
+    order per pillar).  Returns (voxel_features (V, max_pts, 4),
+    voxel_num_points (V,), coords (V, 4) [batch, z, y, x])."""
+    nx, ny = grid
+    cells = {}
+    for p, m in zip(points, mask):
+        if m <= 0:
+            continue
+        gx = int(np.floor((p[0] - pc_range[0]) / voxel[0]))
+        gy = int(np.floor((p[1] - pc_range[1]) / voxel[1]))
+        gz = int(np.floor((p[2] - pc_range[2]) / voxel[2]))
+        if not (0 <= gx < nx and 0 <= gy < ny and gz == 0):
+            continue
+        cells.setdefault((gy, gx), [])
+        if len(cells[(gy, gx)]) < max_pts:
+            cells[(gy, gx)].append(p)
+    keys = sorted(cells)
+    v = len(keys)
+    feats = np.zeros((v, max_pts, 4), np.float32)
+    nums = np.zeros((v,), np.int64)
+    coords = np.zeros((v, 4), np.int64)
+    for i, (gy, gx) in enumerate(keys):
+        pts = np.stack(cells[(gy, gx)])
+        feats[i, : len(pts)] = pts
+        nums[i] = len(pts)
+        coords[i] = [0, 0, gy, gx]
+    return feats, nums, coords
+
+
+_TRUNK_RANGE = [-10.24, -10.24, -3.0, 10.24, 10.24, 1.0]
+_TRUNK_VOXEL = [0.64, 0.64, 4.0]
+_TRUNK_GRID = (32, 32)
+
+
+def _rand_cloud(rng, n=300, pad_to=400):
+    pts = np.zeros((pad_to, 4), np.float32)
+    m = np.zeros((pad_to,), np.float32)
+    pts[:n, 0] = rng.uniform(-10, 10, n)
+    pts[:n, 1] = rng.uniform(-10, 10, n)
+    pts[:n, 2] = rng.uniform(-2.5, 0.5, n)
+    pts[:n, 3] = rng.uniform(0, 1, n)
+    # a few out-of-range points must be dropped identically
+    pts[n - 5: n, 0] = rng.uniform(11, 20, 5)
+    m[:n] = 1
+    return pts, m
+
+
+def _randomize_bn(bn, rng, positive_mean=False):
+    """Random affine + running stats (eval-mode BN actually normalizes)."""
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(
+            rng.uniform(0.5, 1.5, bn.weight.shape[0]).astype(np.float32)))
+        bn.bias.copy_(torch.from_numpy(
+            (np.zeros(bn.bias.shape[0]) if positive_mean else
+             rng.normal(size=bn.bias.shape[0]) * 0.1).astype(np.float32)))
+        bn.running_mean.copy_(torch.from_numpy(
+            (rng.uniform(0.1, 1.0, bn.running_mean.shape[0])
+             if positive_mean else
+             rng.normal(size=bn.running_mean.shape[0]) * 0.2
+             ).astype(np.float32)))
+        bn.running_var.copy_(torch.from_numpy(
+            rng.uniform(0.5, 2.0, bn.running_var.shape[0])
+            .astype(np.float32)))
+
+
+def _bn_params(bn):
+    import jax.numpy as jnp
+
+    return ({"scale": jnp.asarray(bn.weight.detach().numpy()),
+             "bias": jnp.asarray(bn.bias.detach().numpy())},
+            {"mean": jnp.asarray(bn.running_mean.detach().numpy()),
+             "var": jnp.asarray(bn.running_var.detach().numpy())})
+
+
+def _conv_kernel(conv):
+    import jax.numpy as jnp
+
+    return jnp.asarray(conv.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+
+def _convT_kernel(convT):
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose
+    (kh, kw, in, out) with the spatial FLIP (flax's conv_transpose does
+    not flip kernels; torch's adjoint-conv semantics do)."""
+    import jax.numpy as jnp
+
+    w = convT.weight.detach().numpy()[:, :, ::-1, ::-1]
+    return jnp.asarray(w.transpose(2, 3, 0, 1).copy())
+
+
+def test_pillar_vfe_scatter_matches_reference():
+    """PillarVFE (single PFN layer, eval BN) + PointPillarScatter vs the
+    fused PillarFeatureNet on the same raw padded cloud.
+
+    BN stats are drawn with positive running means and zero biases so
+    that relu(bn(0)) == 0: the reference max-pools over all 32 point
+    slots INCLUDING zero-padding (pillar_vfe.py:141-146), while the
+    fused path masks padded points out; with relu(bn(0)) = 0 the padded
+    slots are exactly neutral in both."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.pillar_encoder import PillarFeatureNet
+
+    _install_reference()
+    from opencood.models.sub_modules.pillar_vfe import PillarVFE
+    from opencood.models.sub_modules.point_pillar_scatter import (
+        PointPillarScatter,
+    )
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(7)
+    pts, mask = _rand_cloud(rng)
+
+    vfe = PillarVFE({"use_norm": True, "with_distance": False,
+                     "use_absolute_xyz": True, "num_filters": [16]},
+                    num_point_features=4, voxel_size=_TRUNK_VOXEL,
+                    point_cloud_range=_TRUNK_RANGE).eval()
+    _randomize_bn(vfe.pfn_layers[0].norm, rng, positive_mean=True)
+    scatter = PointPillarScatter({"num_features": 16,
+                                  "grid_size": [32, 32, 1]})
+
+    vf, vn, vc = _numpy_voxelize(pts, mask, _TRUNK_VOXEL, _TRUNK_RANGE,
+                                 _TRUNK_GRID)
+    assert vn.max() < 32 and len(vn) > 100  # sparse, non-degenerate
+    with torch.no_grad():
+        bd = vfe({"voxel_features": torch.from_numpy(vf),
+                  "voxel_num_points": torch.from_numpy(vn),
+                  "voxel_coords": torch.from_numpy(vc)})
+        bd = scatter(bd)
+    want = bd["spatial_features"].numpy()  # (1, 16, ny, nx)
+
+    net = PillarFeatureNet(num_filters=[16], voxel_size=_TRUNK_VOXEL,
+                           pc_range=_TRUNK_RANGE, grid_size=_TRUNK_GRID)
+    variables = net.init(jax.random.key(0), jnp.asarray(pts[None]),
+                         jnp.asarray(mask[None]), train=False)
+    ref_lin = vfe.pfn_layers[0].linear
+    bnp, bns = _bn_params(vfe.pfn_layers[0].norm)
+    params = {"Dense_0": {"kernel": jnp.asarray(
+        ref_lin.weight.detach().numpy().T)},
+        "MaskedBatchNorm_0": bnp}
+    got = net.apply({"params": params,
+                     "batch_stats": {"MaskedBatchNorm_0": bns}},
+                    jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+                    train=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)  # -> (1, C, ny, nx)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def _copy_bev_backbone(ref, layer_nums):
+    """Reference BaseBEVBackbone -> flax BEVBackbone param/stat trees."""
+    params, stats = {}, {}
+    ci = 0
+    for si, n in enumerate(layer_nums):
+        block = ref.blocks[si]
+        # block: [ZeroPad, Conv, BN, ReLU, (Conv, BN, ReLU) * n]
+        convs = [m for m in block if isinstance(m, torch.nn.Conv2d)]
+        bns = [m for m in block if isinstance(m, torch.nn.BatchNorm2d)]
+        for conv, bn in zip(convs, bns):
+            bnp, bns_ = _bn_params(bn)
+            params[f"ConvBNReLU_{ci}"] = {
+                "Conv_0": {"kernel": _conv_kernel(conv)},
+                "BatchNorm_0": bnp}
+            stats[f"ConvBNReLU_{ci}"] = {"BatchNorm_0": bns_}
+            ci += 1
+        de = ref.deblocks[si]
+        if isinstance(de[0], torch.nn.ConvTranspose2d):
+            params[f"ConvTranspose_{si}"] = {"kernel": _convT_kernel(de[0])}
+        else:
+            params[f"Conv_{si}"] = {"kernel": _conv_kernel(de[0])}
+        bnp, bns_ = _bn_params(de[1])
+        params[f"BatchNorm_{si}"] = bnp
+        stats[f"BatchNorm_{si}"] = bns_
+    return params, stats
+
+
+def test_base_bev_backbone_matches_reference():
+    """BaseBEVBackbone (3 stages, deconv up-fusion, eval BN) with copied
+    weights — covers the strided-conv padding alignment and the
+    ConvTranspose kernel-flip convention."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.pillar_encoder import BEVBackbone
+
+    _install_reference()
+    from opencood.models.backbones.base_bev_backbone import BaseBEVBackbone
+
+    torch.manual_seed(1)
+    rng = np.random.default_rng(8)
+    layer_nums = [1, 2, 1]
+    cfg = {"layer_nums": layer_nums, "layer_strides": [2, 2, 2],
+           "num_filters": [8, 12, 16], "upsample_strides": [1, 2, 4],
+           "num_upsample_filter": [8, 8, 8]}
+    ref = BaseBEVBackbone(cfg, input_channels=6).eval()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            _randomize_bn(m, rng)
+
+    x = rng.normal(size=(2, 6, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref({"spatial_features": torch.from_numpy(x)})[
+            "spatial_features_2d"].numpy()
+
+    net = BEVBackbone(layer_nums=layer_nums, layer_strides=[2, 2, 2],
+                      num_filters=[8, 12, 16], upsample_strides=[1, 2, 4],
+                      num_upsample_filters=[8, 8, 8])
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    net.init(jax.random.key(0), xj, train=False)
+    params, stats = _copy_bev_backbone(ref, layer_nums)
+    got = np.asarray(net.apply({"params": params, "batch_stats": stats},
+                               xj, train=False)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
+def test_downsample_conv_matches_reference():
+    """Shrink header (DoubleConv stride-2) with copied weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.layers import DownsampleConv
+
+    _install_reference()
+    from opencood.models.sub_modules.downsample_conv import (
+        DownsampleConv as RefDown,
+    )
+
+    torch.manual_seed(2)
+    rng = np.random.default_rng(9)
+    ref = RefDown({"input_dim": 12, "kernal_size": [3], "stride": [2],
+                   "padding": [1], "dim": [16]}).eval()
+    x = rng.normal(size=(1, 12, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    net = DownsampleConv(kernel_sizes=[3], dims=[16], strides=[2])
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    net.init(jax.random.key(0), xj)
+    dc = ref.layers[0].double_conv  # [Conv, ReLU, Conv, ReLU]
+    params = {"DoubleConv_0": {
+        "Conv_0": {"kernel": _conv_kernel(dc[0]),
+                   "bias": jnp.asarray(dc[0].bias.detach().numpy())},
+        "Conv_1": {"kernel": _conv_kernel(dc[2]),
+                   "bias": jnp.asarray(dc[2].bias.detach().numpy())}}}
+    got = np.asarray(net.apply({"params": params}, xj)).transpose(
+        0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)

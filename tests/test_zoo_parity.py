@@ -1,0 +1,197 @@
+"""GOLDEN numeric parity for three more fusion-zoo members (VERDICT r2
+Missing #3): the REFERENCE torch modules run directly with their weights
+copied into the JAX twins, on identity transforms (so warping is a no-op
+and only the fusion math differs).
+
+  - SwapFusionEncoder (reference: opencood/models/fusion_modules/
+    swap_fusion_modules.py:13-286, mask=True path)
+  - V2VNetFusion + ConvGRU (reference: opencood/models/fusion_modules/
+    v2v_fuse.py:18-137, sub_modules/convgru.py:48-70)
+  - HGTCavAttention (reference: opencood/models/base_transformer.py:
+    258-398)
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from test_reference_parity import _install_reference  # noqa: E402
+
+
+def _lin(m):
+    import jax.numpy as jnp
+
+    out = {"kernel": jnp.asarray(m.weight.detach().numpy().T)}
+    if m.bias is not None:
+        out["bias"] = jnp.asarray(m.bias.detach().numpy())
+    return out
+
+
+def _conv(m):
+    import jax.numpy as jnp
+
+    out = {"kernel": jnp.asarray(
+        m.weight.detach().numpy().transpose(2, 3, 1, 0))}
+    if m.bias is not None:
+        out["bias"] = jnp.asarray(m.bias.detach().numpy())
+    return out
+
+
+def _ln(m):
+    import jax.numpy as jnp
+
+    return {"scale": jnp.asarray(m.weight.detach().numpy()),
+            "bias": jnp.asarray(m.bias.detach().numpy())}
+
+
+def _stacked_lin(mods):
+    import jax.numpy as jnp
+
+    return {"kernel": jnp.asarray(
+        np.stack([m.weight.detach().numpy().T for m in mods])),
+        "bias": jnp.asarray(
+            np.stack([m.bias.detach().numpy() for m in mods]))}
+
+
+def test_swap_fusion_matches_reference():
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.fusion.swap import SwapFusionEncoder
+
+    _install_reference()
+    from opencood.models.fusion_modules.swap_fusion_modules import (
+        SwapFusionEncoder as RefSwap,
+    )
+
+    torch.manual_seed(0)
+    b, l, c, hw, win, dh = 1, 3, 16, 8, 4, 8
+    ref = RefSwap({"input_dim": c, "mlp_dim": 24, "agent_size": l,
+                   "window_size": win, "dim_head": dh, "drop_out": 0.0,
+                   "depth": 1, "mask": True}).eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(b, l, c, hw, hw)).astype(np.float32)
+    mask = torch.ones(b, hw, hw, 1, l)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), mask).numpy()  # (B, C, H, W)
+
+    ours = SwapFusionEncoder(dim=c, depth=1, window=win, dim_head=dh,
+                             agent_size=l, mlp_dim=24,
+                             discrete_ratio=1.0, downsample_rate=1.0)
+    xj = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+    pairwise = jnp.tile(jnp.eye(4), (b, l, l, 1, 1))
+    amask = jnp.ones((b, l))
+    variables = ours.init(jax.random.key(0), xj, None, pairwise, amask)
+
+    blk = ref.layers[0]
+    p = {}
+    for style, attn_mod, ffd_mod in (
+            ("local", blk.window_attention, blk.window_ffd),
+            ("grid", blk.grid_attention, blk.grid_ffd)):
+        att = attn_mod.fn
+        p[f"attn_norm_{style}_0"] = _ln(attn_mod.norm)
+        p[f"attn_{style}_0"] = {
+            "to_qkv": _lin(att.to_qkv),
+            "to_out": _lin(att.to_out[0]),
+            "rel_pos_bias": jnp.asarray(
+                att.relative_position_bias_table.weight.detach().numpy()),
+        }
+        p[f"ff_norm_{style}_0"] = _ln(ffd_mod.norm)
+        p[f"ff_in_{style}_0"] = _lin(ffd_mod.fn.net[0])
+        p[f"ff_out_{style}_0"] = _lin(ffd_mod.fn.net[3])
+    p["head_norm"] = _ln(ref.mlp_head[2])
+    p["head_linear"] = _lin(ref.mlp_head[3])
+
+    got = np.asarray(ours.apply({"params": p}, xj, None, pairwise, amask))
+    got = got.transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
+def test_v2vnet_matches_reference():
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.fusion.v2vnet import V2VNetFusion
+
+    _install_reference()
+    from opencood.models.fusion_modules.v2v_fuse import (
+        V2VNetFusion as RefV2V,
+    )
+
+    torch.manual_seed(1)
+    b, l, c, hw = 1, 3, 8, 8
+    args = {"in_channels": c, "gru_flag": True, "agg_operator": "avg",
+            "num_iteration": 2, "downsample_rate": 1,
+            "voxel_size": [1.0, 1.0, 4],
+            "spatial_transform": {"downsample_rate": 1,
+                                  "voxel_size": [1.0, 1.0, 4]},
+            "conv_gru": {"H": hw, "W": hw, "num_layers": 1,
+                         "kernel_size": [[3, 3]]}}
+    ref = RefV2V(args).eval()
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(l, c, hw, hw)).astype(np.float32)
+    pairwise = torch.eye(4).expand(b, l, l, 4, 4).contiguous()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.ones(b, l),
+                   torch.tensor([l]), pairwise).numpy()  # (B, C, H, W)
+
+    ours = V2VNetFusion(dim=c, num_rounds=2, discrete_ratio=1.0,
+                        downsample_rate=1.0)
+    xj = jnp.asarray(x[None].transpose(0, 1, 3, 4, 2))
+    pj = jnp.tile(jnp.eye(4), (b, l, l, 1, 1))
+    amask = jnp.ones((b, l))
+    ours.init(jax.random.key(0), xj, None, pj, amask)
+
+    cell = ref.conv_gru.cell_list[0]
+    p = {"msg_conv": _conv(ref.msg_cnn),
+         "conv_gru": {"conv_gates": _conv(cell.conv_gates),
+                      "conv_can": _conv(cell.conv_can)},
+         "out_mlp": _lin(ref.mlp)}
+    got = np.asarray(ours.apply({"params": p}, xj, None, pj, amask))
+    got = got.transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
+def test_hgt_cav_attention_matches_reference():
+    """Per-pixel typed agent attention.  Weight convention: the
+    reference applies relation_msg over its FIRST head-dim index
+    (base_transformer.py:387, W^T v); ours applies W v — relation_msg is
+    copied transposed, relation_att directly (q W k both sides)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.fusion.v2xvit import HGTCavAttention
+
+    _install_reference()
+    from opencood.models.base_transformer import HGTCavAttention as RefHGT
+
+    torch.manual_seed(2)
+    b, l, c, hw, heads = 1, 3, 16, 4, 2
+    ref = RefHGT(dim=c, heads=heads, num_types=2, num_relations=4,
+                 dim_head=c // heads, dropout=0.0).eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(b, l, hw, hw, c)).astype(np.float32)
+    mode = np.array([[1, 0, 1]])
+    mask = torch.ones(b, hw, hw, 1, l)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(mode),
+                   mask).numpy()  # (B, L, H, W, C)
+
+    ours = HGTCavAttention(dim=c, heads=heads, num_types=2)
+    xj = jnp.asarray(x)
+    mj = jnp.asarray(mode)
+    maskj = jnp.ones((b, l, hw, hw))
+    ours.init(jax.random.key(0), xj, mj, maskj)
+
+    p = {"to_q": _stacked_lin(ref.q_linears),
+         "to_k": _stacked_lin(ref.k_linears),
+         "to_v": _stacked_lin(ref.v_linears),
+         "to_out": _stacked_lin(ref.a_linears),
+         "relation_att": jnp.asarray(ref.relation_att.detach().numpy()),
+         "relation_msg": jnp.asarray(
+             np.swapaxes(ref.relation_msg.detach().numpy(), -1, -2))}
+    got = np.asarray(ours.apply({"params": p}, xj, mj, maskj))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
