@@ -152,21 +152,26 @@ def load_voxel_params(params: dict) -> dict:
 
 @register_parser
 def load_bev_params(params: dict) -> dict:
-    """BEV geometry for PIXOR-style rasterized heads."""
-    res = params["preprocess"]["args"]["res"]
-    downsample = params["preprocess"]["args"]["downsample_rate"]
+    """BEV geometry for the anchor-free PIXOR family: derives the full
+    ``geometry_param`` dict and injects it into preprocess, postprocess
+    and model args (reference: opencood/hypes_yaml/yaml_utils.py:260-308;
+    input z-channels are nz occupancy slices + 1 intensity)."""
+    res = float(params["preprocess"]["args"]["res"])
+    downsample = int(params["preprocess"]["args"]["downsample_rate"])
     rng = params["preprocess"]["cav_lidar_range"]
-    l_, w_ = rng[3] - rng[0], rng[4] - rng[1]
-    params["preprocess"]["args"].update(
-        {
-            "input_shape": [int(l_ / res), int(w_ / res), 1],
-            "label_shape": [
-                int(l_ / res / downsample),
-                int(w_ / res / downsample),
-                7,
-            ],
-        }
-    )
+    l1, w1, h1, l2, w2, h2 = [float(v) for v in rng]
+    nx, ny, nz = (int((l2 - l1) / res), int((w2 - w1) / res),
+                  int((h2 - h1) / res))
+    geometry = {
+        "L1": l1, "L2": l2, "W1": w1, "W2": w2, "H1": h1, "H2": h2,
+        "res": res, "downsample_rate": downsample,
+        "input_shape": (nx, ny, nz + 1),
+        "label_shape": (nx // downsample, ny // downsample, 7),
+    }
+    params["preprocess"]["geometry_param"] = geometry
+    params["postprocess"]["geometry_param"] = geometry
+    if "model" in params:
+        params["model"]["args"]["geometry_param"] = geometry
     params["postprocess"]["anchor_args"] = params["postprocess"].get(
         "anchor_args", {}
     )

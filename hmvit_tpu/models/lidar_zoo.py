@@ -24,13 +24,15 @@ class Conv3DBNReLU(nn.Module):
     features: int
     kernel: tuple = (3, 3, 3)
     stride: tuple = (1, 1, 1)
+    padding: object = "SAME"
+    use_bias: bool = True  # torch nn.Conv3d default, for weight parity
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         momentum=0.99)(x)
+                    padding=self.padding, use_bias=self.use_bias)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9)(x)
         return nn.relu(x)
 
 
@@ -54,8 +56,72 @@ class VoxelFeatureNet(nn.Module):
                                   grid, points.shape[0], max_run=32)
 
 
+class VoxelCML(nn.Module):
+    """Convolutional middle layers, torch-aligned strides/padding
+    (reference: opencood/models/voxel_net.py:114-125 — z compressed by
+    s2/p1, VALID-z, s2/p1)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p1 = ((1, 1), (1, 1), (1, 1))
+        x = Conv3DBNReLU(64, stride=(2, 1, 1), padding=p1)(x, train)
+        x = Conv3DBNReLU(64, padding=((0, 0), (1, 1), (1, 1)))(x, train)
+        x = Conv3DBNReLU(64, stride=(2, 1, 1), padding=p1)(x, train)
+        return x
+
+
+def fold_z_to_channels(x):
+    """(N, nz, ny, nx, C) -> (N, ny, nx, C*nz) matching the torch
+    ``view(N, C*D, H, W)`` channel order (C outer, z inner) so RPN weights
+    interchange with the reference."""
+    n, nz, ny, nx, c = x.shape
+    return x.transpose(0, 2, 3, 4, 1).reshape(n, ny, nx, c * nz)
+
+
+class VoxelRPN(nn.Module):
+    """3-block multiscale RPN with deconv-concat skip fusion (reference:
+    opencood/models/voxel_net.py:129-169).  Faithful quirks kept: block 3's
+    five trailing convs are raw (no BN/ReLU), deconvs carry BN but no
+    activation, heads are bare 1x1 convs on the 768-ch concat."""
+    anchor_num: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .pixor import _TorchConvT
+
+        def cbr(y, ch, stride=1):
+            y = nn.Conv(ch, (3, 3), strides=(stride, stride),
+                        padding=((1, 1), (1, 1)))(y)
+            y = nn.BatchNorm(use_running_average=not train,
+                             epsilon=1e-5, momentum=0.9)(y)
+            return nn.relu(y)
+
+        b1 = cbr(x, 128, 2)
+        for _ in range(3):
+            b1 = cbr(b1, 128)
+        b2 = cbr(b1, 128, 2)
+        for _ in range(5):
+            b2 = cbr(b2, 128)
+        b3 = cbr(b2, 256, 2)
+        for _ in range(5):
+            b3 = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)))(b3)
+
+        def up(y, k, s):
+            y = _TorchConvT(256, k, s, 0)(y)
+            return nn.BatchNorm(use_running_average=not train,
+                                epsilon=1e-5, momentum=0.9)(y)
+
+        cat = jnp.concatenate(
+            [up(b3, 4, 4), up(b2, 2, 2), up(b1, 1, 1)], axis=-1)
+        psm = nn.Conv(self.anchor_num, (1, 1))(cat)
+        rm = nn.Conv(7 * self.anchor_num, (1, 1))(cat)
+        return psm, rm
+
+
 class VoxelNetDetector(nn.Module):
-    """VoxelNet: SVFE -> dense 3D conv middle layers -> BEV RPN."""
+    """VoxelNet: pillar-style VFE -> dense 3D CML -> multiscale RPN
+    (reference: opencood/models/voxel_net.py:172-232; the reference also
+    swaps its SVFE for PillarVFE at :175-180)."""
     config: dict
     return_features: bool = False
 
@@ -66,17 +132,10 @@ class VoxelNetDetector(nn.Module):
         vox = VoxelFeatureNet(cfg.get("vfe_filters", 64),
                               cfg["voxel_size"], cfg["lidar_range"],
                               grid)(points, points_mask, train)
-        # (N, nz, ny, nx, C): conv middle layers compress z
-        x = Conv3DBNReLU(64, stride=(2, 1, 1))(vox, train)
-        x = Conv3DBNReLU(64)(x, train)
-        x = Conv3DBNReLU(64, stride=(2, 1, 1))(x, train)
-        n, nz, ny, nx, c = x.shape
-        bev = x.transpose(0, 2, 3, 1, 4).reshape(n, ny, nx, nz * c)
-        for ch, stride in ((128, 2), (128, 1), (256, 2)):
-            bev = ConvBNReLU(ch, stride=stride)(bev, train)
+        bev = fold_z_to_channels(VoxelCML()(vox, train))
         if self.return_features:
             return bev
-        psm, rm = DetectionHead(cfg.get("anchor_number", 2))(bev)
+        psm, rm = VoxelRPN(cfg.get("anchor_number", 2))(bev, train)
         return {"psm": psm.transpose(0, 3, 1, 2),
                 "rm": rm.transpose(0, 3, 1, 2)}
 
@@ -109,36 +168,33 @@ class SecondDetector(nn.Module):
                 "rm": rm.transpose(0, 3, 1, 2)}
 
 
-class PIXORDetector(nn.Module):
-    """PIXOR: on-device BEV occupancy raster -> 2D conv backbone -> head.
-
-    The input raster is nz occupancy channels + 1 mean-intensity channel,
-    built with the same fused segment ops as the pillar path.
-    """
+class VoxelNetIntermediate(nn.Module):
+    """Cooperative VoxelNet: per-agent VFE+CML, AttFusion on the folded
+    128-ch BEV, shared RPN (reference:
+    opencood/models/voxel_net_intermediate.py:196-264 — fusion sits
+    between the middle layers and the RPN)."""
     config: dict
-    return_features: bool = False
 
     @nn.compact
-    def __call__(self, points, points_mask, train: bool = False):
-        cfg = self.config
-        grid = cfg["grid_size"]  # (nx, ny, nz)
-        info = pillarize(points, points_mask, tuple(cfg["voxel_size"]),
-                         tuple(cfg["lidar_range"]), tuple(grid))
-        flat = info["points"]
-        occ_int = jnp.stack(
-            [jnp.ones_like(flat[:, 3]), flat[:, 3]], axis=1)
-        vox = scatter_max_to_bev(occ_int, info["pillar_id"], info["keep"],
-                                 tuple(grid), points.shape[0], max_run=32)
-        # (N, nz, ny, nx, 2) -> occupancy per z + intensity folded to BEV
-        n, nz, ny, nx, _ = vox.shape
-        occ = vox[..., 0].transpose(0, 2, 3, 1)  # (N, ny, nx, nz)
-        inten = vox[..., 1].max(axis=1)[..., None]
-        x = jnp.concatenate([occ, inten], axis=-1)
+    def __call__(self, batch: dict, train: bool = False):
+        from .fusion.basic import AttFusion
 
-        for ch, stride in ((32, 1), (64, 2), (128, 2), (196, 1)):
-            x = ConvBNReLU(ch, stride=stride)(x, train)
-        if self.return_features:
-            return x
-        psm, rm = DetectionHead(cfg.get("anchor_number", 2))(x)
+        cfg = self.config
+        grid = cfg["grid_size"]
+        points, pmask = batch["points"], batch["points_mask"]
+        b, l = points.shape[:2]
+        vox = VoxelFeatureNet(cfg.get("vfe_filters", 64),
+                              cfg["voxel_size"], cfg["lidar_range"],
+                              grid)(points.reshape(b * l, *points.shape[2:]),
+                                    pmask.reshape(b * l, -1), train)
+        bev = fold_z_to_channels(VoxelCML()(vox, train))
+        bev = bev.reshape(b, l, *bev.shape[1:])
+        bev = bev * batch["agent_mask"][:, :, None, None, None]
+        fused = AttFusion(bev.shape[-1],
+                          discrete_ratio=float(cfg["voxel_size"][0]),
+                          downsample_rate=1.0)(
+            bev, batch.get("mode"), batch["pairwise_t_matrix"],
+            batch["agent_mask"])
+        psm, rm = VoxelRPN(cfg.get("anchor_number", 2))(fused, train)
         return {"psm": psm.transpose(0, 3, 1, 2),
                 "rm": rm.transpose(0, 3, 1, 2)}

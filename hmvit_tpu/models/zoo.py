@@ -147,11 +147,8 @@ class CooperativeDetector(nn.Module):
             if kind == "point_pillar":
                 x = PointPillarEncoder(cfg["lidar"])(points, pmask, train)
             else:
-                from .lidar_zoo import (
-                    PIXORDetector,
-                    SecondDetector,
-                    VoxelNetDetector,
-                )
+                from .lidar_zoo import SecondDetector, VoxelNetDetector
+                from .pixor import PIXORDetector
 
                 enc_cls = {"voxel_net": VoxelNetDetector,
                            "second": SecondDetector,
@@ -308,18 +305,21 @@ def build_model(model_cfg: dict) -> nn.Module:
     if name in _CAMERA_FUSIONS:
         return CooperativeDetector(args, "camera", _CAMERA_FUSIONS[name])
     if name in ("voxel_net", "second", "pixor"):
-        from .lidar_zoo import (
-            PIXORDetector,
-            SecondDetector,
-            VoxelNetDetector,
-        )
+        from .lidar_zoo import SecondDetector, VoxelNetDetector
+        from .pixor import PIXORDetector
 
         cls = {"voxel_net": VoxelNetDetector, "second": SecondDetector,
                "pixor": PIXORDetector}[name]
         return _SingleAgentLidar(cls, args.get("lidar", args))
-    if name in ("voxel_net_intermediate", "second_intermediate",
-                "pixor_intermediate"):
-        base = name.replace("_intermediate", "")
+    if name == "voxel_net_intermediate":
+        from .lidar_zoo import VoxelNetIntermediate
+
+        return VoxelNetIntermediate(args.get("lidar", args))
+    if name == "pixor_intermediate":
+        from .pixor import PixorIntermediate
+
+        return PixorIntermediate(args.get("lidar", args))
+    if name == "second_intermediate":
         return CooperativeDetector(
-            dict(args, lidar_encoder=base), "lidar", "att")
+            dict(args, lidar_encoder="second"), "lidar", "att")
     raise ValueError(f"unknown model core_method {name!r}")

@@ -1,1 +1,6 @@
-from .mesh import make_mesh, shard_batch, replicate_state  # noqa: F401
+from .mesh import (  # noqa: F401
+    make_mesh,
+    make_sharded_eval,
+    replicate_state,
+    shard_batch,
+)

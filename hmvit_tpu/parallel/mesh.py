@@ -42,3 +42,18 @@ def replicate_state(state, mesh: Mesh):
     """Replicate params/opt state across the mesh."""
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+
+
+def make_sharded_eval(model, mesh: Mesh):
+    """Data-parallel batched inference: variables replicated, batch
+    sharded on 'data', outputs sharded the same way.  The TPU-native
+    replacement for a per-rank eval loop — one jitted program, frames
+    split across chips, decode/AP stay on the host (reference eval loop:
+    opencood/tools/inference_camera.py:145-185 runs frames serially on
+    one GPU)."""
+    return jax.jit(
+        lambda variables, batch: model.apply(variables, batch,
+                                             train=False),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )

@@ -139,3 +139,16 @@ class AnchorPostprocessor:
                                float(self.params["nms_thresh"]))
             corners, scores = corners[keep], scores[keep]
         return corners, scores
+
+
+def build_postprocessor(params: dict, train: bool = True):
+    """Postprocessor factory keyed on ``postprocess.core_method``
+    (reference registry: opencood/data_utils/post_processor/__init__.py:
+    14-21).  VoxelPostprocessor -> anchor head decode; BevPostprocessor
+    -> anchor-free PIXOR decode."""
+    name = params.get("core_method", "VoxelPostprocessor")
+    if name == "BevPostprocessor":
+        from .postprocess_bev import BevPostprocessor
+
+        return BevPostprocessor(params, train=train)
+    return AnchorPostprocessor(params, train=train)

@@ -103,16 +103,21 @@ def make_serving_forward(model):
         return None
 
     @functools.lru_cache(maxsize=None)
-    def bucket(n_cam, n_active, ego_mode):
+    def bucket(modes_t, n_active):
+        # bucket key = the fleet's exact modality layout: enables the
+        # static type-range hetero projections (half the projection
+        # FLOPs) on top of the encoder bucketing.  Fleet layouts are
+        # few (<= 2^max_cav) so the per-layout jit cache stays small.
+        n_cam = sum(1 for m in modes_t if m == 0)
         return jax.jit(lambda v, b: model.apply(
             v, b, train=False, camera_bucket=n_cam,
-            active_agents=n_active, static_ego_modality=ego_mode))
+            active_agents=n_active, static_ego_modality=modes_t[0],
+            static_modes=modes_t))
 
     def forward(v, b, frame):
         n_active = max(int(np.asarray(frame["agent_mask"]).sum()), 1)
         modes = np.asarray(frame["mode"])[:n_active]
-        return bucket(int((modes == 0).sum()), n_active,
-                      int(modes[0]))(v, b)
+        return bucket(tuple(int(m) for m in modes), n_active)(v, b)
 
     return forward
 
@@ -124,7 +129,7 @@ def main(argv=None):
 
     from ..config import load_config
     from ..data.opv2v import HeteroCooperativeDataset
-    from ..postprocess import AnchorPostprocessor
+    from ..postprocess import build_postprocessor
     from ..utils import boxes as box_utils
     from ..utils import evaluation as E
 
@@ -149,7 +154,7 @@ def main(argv=None):
 
     dataset = HeteroCooperativeDataset(params, train=False,
                                        max_points=args.max_points)
-    pp = AnchorPostprocessor(params["postprocess"], train=False)
+    pp = build_postprocessor(params["postprocess"], train=False)
     anchors = pp.generate_anchor_box()
 
     def to_jnp(batch):
@@ -180,6 +185,22 @@ def main(argv=None):
         os.makedirs(vis_dir, exist_ok=True)
     html_frames = []
 
+    def to_host_output(out):
+        """Decoder-family-agnostic output view (anchor psm/rm or
+        anchor-free cls/reg)."""
+        keys = ("psm", "rm") if "psm" in out else ("cls", "reg")
+        return {k: np.asarray(out[k]) for k in keys}
+
+    def lift_corners(corners):
+        """(N, 4, 2) anchor-free BEV corners -> (N, 8, 3) box corners so
+        eval/vis stay family-uniform (z spans a nominal 0..1.5 m)."""
+        if corners is None or corners.ndim != 3 or corners.shape[1] == 8:
+            return corners
+        lo = np.concatenate(
+            [corners, np.zeros_like(corners[..., :1])], axis=-1)
+        hi = lo + np.array([0.0, 0.0, 1.5])
+        return np.concatenate([lo, hi], axis=1)
+
     for i in range(n_frames):
         frame = dataset[i]
         if args.fusion_method == "late":
@@ -192,8 +213,7 @@ def main(argv=None):
                     "transformation_matrix": sub["to_ego"],
                     "anchor_box": anchors,
                 }
-                output_dict[ci] = {"psm": np.asarray(out["psm"]),
-                                   "rm": np.asarray(out["rm"])}
+                output_dict[ci] = to_host_output(out)
             corners, scores = pp.post_process(data_dict, output_dict)
         else:
             if args.fusion_method == "early":
@@ -215,10 +235,10 @@ def main(argv=None):
                 {"ego": {"transformation_matrix": np.eye(4),
                          "anchor_box": anchors,
                          "no_post_projection": True}},
-                {"ego": {"psm": np.asarray(out["psm"]),
-                         "rm": np.asarray(out["rm"])}},
+                {"ego": to_host_output(out)},
             )
 
+        corners = lift_corners(corners)
         gt_mask = frame["object_bbx_mask"] > 0
         gt_corners = box_utils.boxes_to_corners_3d(
             frame["object_bbx_center"][gt_mask], pp.order)

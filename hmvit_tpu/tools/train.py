@@ -50,7 +50,7 @@ def main(argv=None):
     from ..data.opv2v import HeteroCooperativeDataset
     from ..models.zoo import build_model
     from ..parallel import make_mesh, replicate_state, shard_batch
-    from ..postprocess import AnchorPostprocessor
+    from ..postprocess import build_postprocessor
     from ..train.checkpointing import (
         find_last_step,
         restore_checkpoint,
@@ -92,7 +92,7 @@ def main(argv=None):
                                        max_points=args.max_points)
     val_dataset = HeteroCooperativeDataset(params, train=False,
                                            max_points=args.max_points)
-    pp = AnchorPostprocessor(params["postprocess"], train=True)
+    pp = build_postprocessor(params["postprocess"], train=True)
     anchors = pp.generate_anchor_box()
 
     model = build_model(params["model"])

@@ -76,23 +76,33 @@ def voxel_net_loss(output, labels, alpha=1.5, beta=1.0):
                    "total_loss": total}
 
 
-def pixor_loss(output, labels, cls_weight=1.0, reg_weight=1.0):
-    """PIXOR loss: per-pixel focal classification + smooth-L1 on the
-    dense regression map (reference: opencood/loss/pixor_loss.py)."""
-    psm, rm = output["psm"], output["rm"]
-    b = psm.shape[0]
-    cls_labels = labels["pos_equal_one"].reshape(b, -1)
-    logits = jnp.transpose(psm, (0, 2, 3, 1)).reshape(b, -1, 1)
-    pos_norm = jnp.clip(cls_labels.sum(1, keepdims=True), 1.0, None)
-    conf = sigmoid_focal_loss(
-        logits, cls_labels[..., None], (1.0 / pos_norm)[..., None]
-    ).sum() / b * cls_weight
-    rm_flat = jnp.transpose(rm, (0, 2, 3, 1)).reshape(b, -1, 7)
-    targets = labels["targets"].reshape(b, -1, 7)
-    reg = weighted_smooth_l1(rm_flat, targets, cls_labels / pos_norm)
-    reg_loss = reg.sum() / b * reg_weight
-    total = conf + reg_loss
-    return total, {"conf_loss": conf, "reg_loss": reg_loss,
+def pixor_loss(output, labels, alpha=1.0, beta=1.0):
+    """Anchor-free PIXOR loss (reference: opencood/loss/pixor_loss.py:
+    15-62): mean BCE-with-logits over the dense objectness map plus
+    positive-masked smooth-L1 over the 6-channel regression map,
+    sum-normalized by the positive-cell count.
+
+    output: {'cls': (B, 1, H, W), 'reg': (B, 6, H, W)} logits;
+    labels: {'label_map': (B, 7, H, W)} from
+    :func:`hmvit_tpu.postprocess_bev.bev_label_map`.
+    """
+    label_map = labels["label_map"]
+    cls_t, loc_t = label_map[:, :1], label_map[:, 1:]
+    cls_p, loc_p = output["cls"], output["reg"]
+
+    # mean BCE with logits, numerically stable form
+    z = cls_p
+    bce = jnp.maximum(z, 0.0) - z * cls_t + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    cls_loss = bce.mean()
+
+    pos = cls_t.sum()
+    diff = cls_t * (loc_p - loc_t)
+    ad = jnp.abs(diff)
+    sl1 = jnp.where(ad < 1.0, 0.5 * ad * ad, ad - 0.5).sum()
+    reg_loss = jnp.where(pos > 0, sl1 / jnp.maximum(pos, 1.0), sl1)
+
+    total = alpha * cls_loss + beta * reg_loss
+    return total, {"conf_loss": cls_loss, "reg_loss": reg_loss,
                    "total_loss": total}
 
 
@@ -144,6 +154,9 @@ def build_loss(loss_cfg: dict):
     if name == "point_pillar_loss":
         kwargs = {"cls_weight": float(args.get("cls_weight", 1.0)),
                   "reg_weight": float(args.get("reg", 2.0))}
+    elif name == "pixor_loss":
+        kwargs = {"alpha": float(args.get("alpha", 1.0)),
+                  "beta": float(args.get("beta", 1.0))}
     else:
         kwargs = {}
     return fn, kwargs

@@ -9,7 +9,10 @@ import optax
 
 
 def build_schedule(cfg: dict, base_lr: float, steps_per_epoch: int):
-    method = cfg.get("core_method", "constant")
+    # reference configs spell this with a capital (e.g. 'Exponential' in
+    # opv2v/pixor_early_fusion.yaml); match case-insensitively like the
+    # reference's reflection loader
+    method = str(cfg.get("core_method", "constant")).lower()
     if method == "step":
         return optax.exponential_decay(
             base_lr,

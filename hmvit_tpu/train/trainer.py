@@ -120,9 +120,17 @@ def make_forward(model):
 
 def labels_for_batch(postprocessor, anchors, batch) -> dict:
     """Host-side label generation for a padded batch (vectorizable later
-    into the input pipeline workers)."""
-    pos, neg, tgt = [], [], []
+    into the input pipeline workers).  Dispatches on the postprocessor
+    family: anchor grid (VoxelPostprocessor twin) or the anchor-free
+    dense label map (BevPostprocessor twin)."""
     b = batch["object_bbx_center"].shape[0]
+    if anchors is None:  # anchor-free PIXOR family
+        maps = [postprocessor.generate_label(
+            gt_box_center=np.asarray(batch["object_bbx_center"][i]),
+            mask=np.asarray(batch["object_bbx_mask"][i]))["label_map"]
+            for i in range(b)]
+        return {"label_map": jnp.asarray(np.stack(maps), jnp.float32)}
+    pos, neg, tgt = [], [], []
     for i in range(b):
         lab = postprocessor.generate_label(
             np.asarray(batch["object_bbx_center"][i]), anchors,

@@ -48,10 +48,15 @@ def shrink(params):
     cam_args["resize_x"] = cam_args["resize_y"] = 32
     lp = p["preprocess"]["args"].get("lidar_preprocess", {}).get("args",
                                                                  {})
+    core = p.get("model", {}).get("core_method", "")
     voxel = [0.64, 0.64, lp.get("voxel_size", [0, 0, 4])[2]]
     if voxel[2] < 4:
-        voxel[2] = 2.0
+        # faithful VoxelNet CML (s2/VALID-z/s2) needs nz >= 5 to not
+        # collapse; anchor-free pixor needs nx, ny divisible by 16
+        voxel[2] = 0.4 if core.startswith("voxel_net") else 2.0
     lp["voxel_size"] = voxel
+    if core.startswith("pixor"):
+        p["preprocess"]["args"]["res"] = 0.64
 
     margs = p["model"]["args"]
     if "camera" in margs:
@@ -117,7 +122,11 @@ def test_config_loads_and_builds(path):
     model = build_model(params["model"])
     assert model is not None
     assert params["loss"]["core_method"]
-    assert params["postprocess"]["anchor_args"]["W"] > 0
+    if params["postprocess"]["core_method"] == "BevPostprocessor":
+        # anchor-free family: dense label grid instead of anchors
+        assert params["postprocess"]["geometry_param"]["label_shape"][0] > 0
+    else:
+        assert params["postprocess"]["anchor_args"]["W"] > 0
 
 
 def unique_core_methods():
@@ -159,5 +168,8 @@ def test_every_core_method_forwards(core_method, path):
         assert np.isfinite(np.asarray(v)).all(), (core_method, k)
     if "psm" in out:
         assert out["psm"].shape[1] == 2
+    elif "cls" in out:
+        # anchor-free pixor head: 1 objectness + 6 regression channels
+        assert out["cls"].shape[1] == 1 and out["reg"].shape[1] == 6
     else:
         assert any(k.endswith("_seg") for k in out)

@@ -3,11 +3,8 @@ import jax
 import numpy as np
 import pytest
 
-from hmvit_tpu.models.lidar_zoo import (
-    PIXORDetector,
-    SecondDetector,
-    VoxelNetDetector,
-)
+from hmvit_tpu.models.lidar_zoo import SecondDetector, VoxelNetDetector
+from hmvit_tpu.models.pixor import PIXORDetector
 
 pytestmark = pytest.mark.slow
 
@@ -33,12 +30,26 @@ def make_points(seed=0, n=2, p=2048):
     return pts, mask
 
 
+def _check_grads(model, variables, points, mask):
+    def loss(params):
+        o, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            points, mask, train=True, mutable=["batch_stats"])
+        return sum((v ** 2).mean() for v in o.values())
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(x)) for x in leaves)
+    assert any(np.abs(x).max() > 0 for x in leaves)
+
+
 @pytest.mark.parametrize("cls,stride", [
-    (VoxelNetDetector, 4),
+    # faithful VoxelNet RPN emits at input/2 (3 stride-2 blocks, deconvs
+    # x4/x2/x1 land on the first block's plane)
+    (VoxelNetDetector, 2),
     (SecondDetector, 8),
-    (PIXORDetector, 4),
 ])
-def test_forward_and_grad(cls, stride):
+def test_anchor_families_forward_and_grad(cls, stride):
     points, mask = make_points()
     model = cls(CFG)
     variables = model.init(jax.random.key(0), points, mask, train=False)
@@ -47,14 +58,17 @@ def test_forward_and_grad(cls, stride):
     assert out["psm"].shape == (2, 2, hw, hw)
     assert out["rm"].shape == (2, 14, hw, hw)
     assert np.all(np.isfinite(np.asarray(out["psm"])))
+    _check_grads(model, variables, points, mask)
 
-    def loss(params):
-        o, _ = model.apply(
-            {"params": params, "batch_stats": variables["batch_stats"]},
-            points, mask, train=True, mutable=["batch_stats"])
-        return (o["psm"] ** 2).mean() + (o["rm"] ** 2).mean()
 
-    g = jax.grad(loss)(variables["params"])
-    leaves = jax.tree_util.tree_leaves(g)
-    assert all(np.all(np.isfinite(x)) for x in leaves)
-    assert any(np.abs(x).max() > 0 for x in leaves)
+def test_pixor_anchor_free_forward_and_grad():
+    points, mask = make_points()
+    cfg = {"res": 0.64, "downsample_rate": 4, "lidar_range": RANGE,
+           "use_bn": True}
+    model = PIXORDetector(cfg)
+    variables = model.init(jax.random.key(0), points, mask, train=False)
+    out = model.apply(variables, points, mask, train=False)
+    assert out["cls"].shape == (2, 1, 16, 16)
+    assert out["reg"].shape == (2, 6, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out["cls"])))
+    _check_grads(model, variables, points, mask)
