@@ -128,7 +128,8 @@ class HeteroWindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
                  deterministic: bool = True, pair_mask=None,
-                 receivers: int | None = None):
+                 receivers: int | None = None,
+                 static_modes: tuple | None = None):
         b, l, h, w, c = x.shape
         r = l if receivers is None else receivers
         heads = self.dim // self.dim_head
@@ -137,11 +138,14 @@ class HeteroWindowAttention(nn.Module):
         scale = d ** -0.5
         cdt = jnp.dtype(self.compute_dtype)
         x = x.astype(cdt)
+        sm_r = static_modes[:r] if static_modes is not None else None
 
         q = HeteroDense(self.dim, self.num_types,
-                        name="to_q")(x[:, :r], mode[:, :r])
-        k = HeteroDense(self.dim, self.num_types, name="to_k")(x, mode)
-        v = HeteroDense(self.dim, self.num_types, name="to_v")(x, mode)
+                        name="to_q")(x[:, :r], mode[:, :r], sm_r)
+        k = HeteroDense(self.dim, self.num_types, name="to_k")(
+            x, mode, static_modes)
+        v = HeteroDense(self.dim, self.num_types, name="to_v")(
+            x, mode, static_modes)
 
         # Relation-typed weights.  The reference applies
         # W_att[type_i, type_j] between q_i and warped k_j per (i, j)
@@ -157,9 +161,28 @@ class HeteroWindowAttention(nn.Module):
         rel_msg = self.param(
             "relation_msg", nn.initializers.xavier_uniform(),
             (num_rel, heads, d, d))
-        # idx[tau, b, j] = tau * num_types + mode[b, j]
-        taus = jnp.arange(self.num_types, dtype=mode.dtype)
+        # idx[tau, b, j] = tau * num_types + mode[b, j].  With a static
+        # receiver layout, fold only for the receiver types actually
+        # present — the ego-only final phase then builds ONE typed
+        # variant instead of two (halves this einsum and the kv2
+        # buffer; identical numerics since unused variants were dead).
+        if sm_r is not None:
+            taus_used = tuple(sorted({int(m) for m in sm_r}))
+        else:
+            taus_used = tuple(range(self.num_types))
+        ntau = len(taus_used)
+        taus = jnp.asarray(taus_used, dtype=mode.dtype)
         idx = taus[:, None, None] * self.num_types + mode[None]
+        if sm_r is not None:
+            # only the first r (receiver) rows are ever read; sender
+            # rows whose type has no folded variant map to 0 harmlessly
+            recv_variant = jnp.broadcast_to(
+                jnp.asarray([taus_used.index(int(m))
+                             if int(m) in taus_used else 0
+                             for m in static_modes], jnp.int32)[None],
+                mode.shape)
+        else:
+            recv_variant = mode
         # one stacked fold emitting the CONCATENATED [K|V] layout
         # directly — a separate k2/v2 + concat materializes two extra
         # (B, TY, J, H, W, C) relayout copies (~0.8 ms/phase measured)
@@ -173,7 +196,7 @@ class HeteroWindowAttention(nn.Module):
         kv2 = jnp.einsum("bjxyshe,tbjshde->btjxyshd", kvh, w_t,
                          preferred_element_type=jnp.float32).astype(cdt)
         # (2, heads, d) flattens to [K-half | V-half] = 2C
-        kv2 = kv2.reshape(b, self.num_types, l, h, w, 2 * c)
+        kv2 = kv2.reshape(b, ntau, l, h, w, 2 * c)
 
         # Select each receiver's typed variant and warp sender j's K/V
         # into receiver i's frame as one concatenated 2C tensor.
@@ -185,10 +208,10 @@ class HeteroWindowAttention(nn.Module):
             from ..ops.fused_warp import fused_pair_warp
 
             kv_pair = fused_pair_warp(
-                kv2, pairwise, mode,
+                kv2, pairwise, recv_variant,
                 self.discrete_ratio, self.downsample_rate, receivers)
         else:
-            ridx = mode[:, :r, None, None, None, None]
+            ridx = recv_variant[:, :r, None, None, None, None]
             kv_typed = jnp.take_along_axis(
                 kv2, ridx.astype(jnp.int32), axis=1
             )  # (B, I, J, H, W, 2C) — gather, fused into the warp reads
@@ -259,7 +282,7 @@ class HeteroWindowAttention(nn.Module):
 
         out = _window_merge(out, win, self.style, h, w)
         out = HeteroDense(self.dim, self.num_types,
-                          name="to_out")(out, mode[:, :r])
+                          name="to_out")(out, mode[:, :r], sm_r)
         out = out.astype(jnp.float32)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
@@ -297,9 +320,11 @@ class HeteroFusionBlock(nn.Module):
     compute_dtype: str = "float32"
 
     def _phase(self, style, name, x, mode, pairwise, agent_mask,
-               deterministic, pair_mask, receivers=None):
+               deterministic, pair_mask, receivers=None,
+               static_modes=None):
         cdt = jnp.dtype(self.compute_dtype)
         r = x.shape[1] if receivers is None else receivers
+        sm_r = static_modes[:r] if static_modes is not None else None
         x_n = HeteroLayerNorm(name=f"{name}_norm")(x, mode)
         msg = HeteroWindowAttention(
             dim=self.input_dim,
@@ -312,21 +337,22 @@ class HeteroFusionBlock(nn.Module):
             compute_dtype=self.compute_dtype,
             name=f"{name}_attn",
         )(x_n, mode, pairwise, agent_mask, deterministic, pair_mask,
-          receivers)
+          receivers, static_modes)
         msg = msg * agent_mask[:, :r, None, None, None]
         x = x[:, :r] + msg
         ffn_in = HeteroLayerNorm(name=f"{name}_ffn_norm")(x, mode[:, :r])
         ffn = HeteroFeedForward(
             self.mlp_dim, num_types=2, dropout=self.dropout,
             name=f"{name}_ffn",
-        )(ffn_in.astype(cdt), mode[:, :r], deterministic)
+        )(ffn_in.astype(cdt), mode[:, :r], deterministic, sm_r)
         x = x + ffn.astype(jnp.float32)
         return x
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
                  deterministic: bool = True, pair_mask=None,
-                 receivers: int | None = None):
+                 receivers: int | None = None,
+                 static_modes: tuple | None = None):
         """receivers restricts the BLOCK OUTPUT to the first I agents —
         valid only when later stages consume no other agent (the last
         fusion iteration feeding the ego head).  In sequential mode the
@@ -338,17 +364,19 @@ class HeteroFusionBlock(nn.Module):
                 self.discrete_ratio, self.downsample_rate)
         if self.architect_mode == "sequential":
             x = self._phase("local", "window", x, mode, pairwise,
-                            agent_mask, deterministic, pair_mask)
+                            agent_mask, deterministic, pair_mask,
+                            static_modes=static_modes)
             x = self._phase("grid", "grid", x, mode, pairwise, agent_mask,
-                            deterministic, pair_mask, receivers)
+                            deterministic, pair_mask, receivers,
+                            static_modes)
             return x
         if self.architect_mode == "parallel":
             x_local = self._phase("local", "window", x, mode, pairwise,
                                   agent_mask, deterministic, pair_mask,
-                                  receivers)
+                                  receivers, static_modes)
             x_global = self._phase("grid", "grid", x, mode, pairwise,
                                    agent_mask, deterministic, pair_mask,
-                                   receivers)
+                                   receivers, static_modes)
             return SplitAttn(self.input_dim)([x_local, x_global])
         raise ValueError(f"unknown architect_mode {self.architect_mode!r}")
 
@@ -361,7 +389,8 @@ class HeteroFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 static_modes: tuple | None = None):
         cfg = self.config
         blk = cfg["hetero_fusion_block"]
         st = blk.get("spatial_transform", cfg.get("spatial_transform", {}))
@@ -389,8 +418,11 @@ class HeteroFusion(nn.Module):
             last = it == n_iters - 1
             x = block(x, mode, pairwise, agent_mask, deterministic,
                       pair_mask, receivers=1 if (last and ego_only)
-                      else None)
+                      else None, static_modes=static_modes)
         ego = x[:, :1]  # (B, 1, H, W, C)
         ego = HeteroFeedForward(blk["input_dim"], num_types=2,
-                                name="mlp_head")(ego, mode[:, :1])
+                                name="mlp_head")(
+            ego, mode[:, :1],
+            static_modes=(static_modes[:1] if static_modes is not None
+                          else None))
         return ego[:, 0]

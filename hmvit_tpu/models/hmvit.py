@@ -96,7 +96,8 @@ class HMViT(nn.Module):
     def __call__(self, batch: dict, train: bool = False,
                  camera_bucket: int | None = None,
                  active_agents: int | None = None,
-                 static_ego_modality: int | None = None):
+                 static_ego_modality: int | None = None,
+                 static_modes: tuple | None = None):
         """camera_bucket / active_agents are SERVING shape buckets:
 
         - ``active_agents`` statically slices the agent axis to the
@@ -116,6 +117,13 @@ class HMViT(nn.Module):
           The dispatcher in ``tools/inference.py`` always passes the
           exact per-frame count.  None (training default) runs both
           encoders on every slot for a mix-independent trace.
+        - ``static_modes``: the fleet's per-agent modality layout
+          (AFTER ``active_agents`` slicing), known at trace time; lets
+          every hetero projection hit only its own type's kernel (half
+          the FLOPs, identical numerics — see HeteroDense).  Must equal
+          the batch's true ``mode`` row or outputs are silently wrong;
+          serving callers derive it from the same frame metadata as
+          ``camera_bucket``.
         """
         cfg = self.config
         if active_agents is not None:
@@ -193,7 +201,8 @@ class HMViT(nn.Module):
             ego = fusion(x, mode, pairwise, agent_mask, **kwargs)
         else:
             ego = HeteroFusion(cfg["hetero_fusion"], name="fusion")(
-                x, mode, pairwise, agent_mask, deterministic=not train
+                x, mode, pairwise, agent_mask, deterministic=not train,
+                static_modes=static_modes,
             )  # (B, H, W, C)
 
         dec = cfg["hetero_decoder"]

@@ -218,7 +218,12 @@ class HeteroDense(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, mode):
+    def __call__(self, x, mode, static_modes: tuple | None = None):
+        """static_modes: optional per-agent type layout known at TRACE
+        time (serving buckets fix the fleet's modality mix).  With it,
+        each agent's rows hit only its own type's kernel — half the
+        projection FLOPs of the compute-both-and-select default, still
+        one large MXU matmul per agent (identical numerics, tested)."""
         din = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -227,6 +232,22 @@ class HeteroDense(nn.Module):
                 -1.0 / jnp.sqrt(din), 1.0 / jnp.sqrt(din)),
             (self.num_types, din, self.features),
         )
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.num_types, self.features))
+                if self.use_bias else None)
+
+        if static_modes is not None:
+            assert len(static_modes) == x.shape[1], (
+                f"static_modes {static_modes} vs L={x.shape[1]}")
+            kt = kernel.astype(x.dtype)
+            y = jnp.stack([x[:, i] @ kt[int(m)]
+                           for i, m in enumerate(static_modes)], axis=1)
+            if bias is not None:
+                b = bias[jnp.asarray(static_modes)].astype(x.dtype)
+                y = y + b.reshape(1, len(static_modes),
+                                  *(1,) * (x.ndim - 3), self.features)
+            return y
+
         k2d = jnp.swapaxes(kernel, 0, 1).reshape(
             din, self.num_types * self.features).astype(x.dtype)
         y_all = x @ k2d  # (B, L, ..., T*O)
@@ -237,8 +258,6 @@ class HeteroDense(nn.Module):
                           self.num_types, 1)
         y = (y_all * sel).sum(axis=-2)
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.num_types, self.features))
             b = hetero_param_gather(bias, mode).astype(x.dtype)  # (B,L,O)
             y = y + b.reshape(b.shape[0], b.shape[1],
                               *(1,) * (y.ndim - 3), self.features)
@@ -272,10 +291,12 @@ class HeteroFeedForward(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mode, deterministic: bool = True):
+    def __call__(self, x, mode, deterministic: bool = True,
+                 static_modes: tuple | None = None):
         out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
-        h = HeteroDense(self.hidden_dim, self.num_types)(x, mode)
+        h = HeteroDense(self.hidden_dim, self.num_types)(x, mode,
+                                                         static_modes)
         h = nn.gelu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = HeteroDense(out_dim, self.num_types)(h, mode)
+        h = HeteroDense(out_dim, self.num_types)(h, mode, static_modes)
         return nn.Dropout(self.dropout, deterministic=deterministic)(h)

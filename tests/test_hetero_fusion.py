@@ -282,3 +282,60 @@ def test_serving_bucket_degenerate_fleets():
         np.testing.assert_allclose(np.asarray(base["psm"]),
                                    np.asarray(got["psm"]),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_static_modes_match_dynamic():
+    """static_modes (trace-time fleet layout -> type-range hetero
+    projections, half the FLOPs) must be numerically identical to the
+    compute-both-and-select default, alone and stacked on the serving
+    buckets."""
+    from hmvit_tpu.data.synthetic import make_hetero_batch
+    from hmvit_tpu.models.hmvit import HMViT
+
+    from tiny_cfg import RANGE, TINY_CFG
+
+    batch, _ = make_hetero_batch(
+        seed=11, batch_size=1, max_cav=4, num_agents=3, max_points=2048,
+        image_size=32, num_cams=4, camera_ratio=0.5, ego_mode="mixed",
+        lidar_range=RANGE)
+    batch["mode"][:, 0] = 1
+    batch["mode"][:, 1] = 0
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    modes_full = tuple(int(m) for m in batch["mode"][0])
+    ncam = int((batch["mode"][0, :3] == 0).sum())
+
+    model = HMViT(TINY_CFG)
+    v = model.init(jax.random.key(0), jb, train=False)
+    base = model.apply(v, jb, train=False)
+    static = model.apply(v, jb, train=False, static_modes=modes_full)
+    np.testing.assert_allclose(np.asarray(base["psm"]),
+                               np.asarray(static["psm"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(base["rm"]),
+                               np.asarray(static["rm"]),
+                               atol=1e-5, rtol=1e-5)
+
+    stacked = model.apply(v, jb, train=False, camera_bucket=ncam,
+                          active_agents=3,
+                          static_ego_modality=int(batch["mode"][0, 0]),
+                          static_modes=modes_full[:3])
+    np.testing.assert_allclose(np.asarray(base["psm"]),
+                               np.asarray(stacked["psm"]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_hetero_dense_static_modes_identical():
+    from hmvit_tpu.models.layers import HeteroDense
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 5, 8)).astype(np.float32))
+    mode = jnp.asarray([[1, 0, 1], [0, 0, 1]])
+    layer = HeteroDense(16)
+    v = layer.init(jax.random.key(0), x, mode)
+    base = layer.apply(v, x, mode)
+    # static path requires a single layout for the whole batch
+    x1, m1 = x[:1], mode[:1]
+    np.testing.assert_allclose(
+        np.asarray(layer.apply(v, x1, m1, (1, 0, 1))),
+        np.asarray(layer.apply(v, x1, m1)), atol=1e-6, rtol=1e-6)
+    assert base.shape == (2, 3, 5, 16)
