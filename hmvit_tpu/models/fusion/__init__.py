@@ -20,8 +20,11 @@ def _dim_head(dim: int) -> int:
     return 1
 
 
-def make_fusion(name: str, dim: int, spatial: dict):
-    """Instantiate a fusion module by its registry name."""
+def make_fusion(name: str, dim: int, spatial: dict, args: dict = None):
+    """Instantiate a fusion module by its registry name.  ``args`` is
+    the model config's fusion sub-block for modules with extra knobs
+    (e.g. disconet_fusion's num_iteration/use_mask)."""
+    args = args or {}
     ratio = spatial.get("voxel_size", [0.4])[0]
     ds = spatial.get("downsample_rate", 4)
     if name == "fcooper":
@@ -29,7 +32,10 @@ def make_fusion(name: str, dim: int, spatial: dict):
     if name in ("att", "self_att"):
         return AttFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
     if name == "disconet":
-        return DiscoNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
+        return DiscoNetFusion(
+            dim, discrete_ratio=ratio, downsample_rate=ds,
+            num_iteration=int(args.get("num_iteration", 1)),
+            use_mask=bool(args.get("use_mask", True)))
     if name == "v2vnet":
         return V2VNetFusion(dim, discrete_ratio=ratio, downsample_rate=ds)
     if name in ("swap", "fax", "cobevt"):

@@ -173,7 +173,9 @@ class CooperativeDetector(nn.Module):
             fused = HeteroFusion(cfg["hetero_fusion"])(
                 x, mode, pairwise, agent_mask, deterministic=not train)
         else:
-            fused = make_fusion(self.fusion_name, c, spatial)(
+            fused = make_fusion(
+                self.fusion_name, c, spatial,
+                cfg.get(f"{self.fusion_name}_fusion"))(
                 x, mode, pairwise, agent_mask)
 
         dec = cfg.get("decoder")

@@ -195,3 +195,69 @@ def test_hgt_cav_attention_matches_reference():
              np.swapaxes(ref.relation_msg.detach().numpy(), -1, -2))}
     got = np.asarray(ours.apply({"params": p}, xj, mj, maskj))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def test_disconet_matches_reference():
+    """DiscoNet pixel-weighted fusion, num_iteration=2 (exercises the
+    all-receivers update loop), eval-mode BN, identity transforms."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.fusion.basic import DiscoNetFusion
+
+    _install_reference()
+    from opencood.models.fusion_modules.disconet_fuse import (
+        DiscoNetFusion as RefDisco,
+    )
+
+    torch.manual_seed(2)
+    b, l, c, hw = 1, 3, 8, 8
+    args = {"in_channels": c, "gru_flag": True, "agg_operator": "avg",
+            "num_iteration": 2, "downsample_rate": 1,
+            "voxel_size": [1.0, 1.0, 4], "use_mask": True,
+            "use_temporal_encoding": False,
+            "spatial_transform": {"downsample_rate": 1,
+                                  "voxel_size": [1.0, 1.0, 4]},
+            "conv_gru": {"H": hw, "W": hw, "num_layers": 1,
+                         "kernel_size": [[3, 3]]}}
+    ref = RefDisco(args).eval()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(l, c, hw, hw)).astype(np.float32)
+    pairwise = torch.eye(4).expand(b, l, l, 4, 4).contiguous()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.ones(b, l),
+                   torch.tensor([l]), pairwise).numpy()  # (B, C, H, W)
+
+    ours = DiscoNetFusion(dim=c, discrete_ratio=1.0, downsample_rate=1.0,
+                          num_iteration=2, use_mask=True)
+    xj = jnp.asarray(x[None].transpose(0, 1, 3, 4, 2))
+    pj = jnp.tile(jnp.eye(4), (b, l, l, 1, 1))
+    amask = jnp.ones((b, l))
+    ours.init(jax.random.key(0), xj, None, pj, amask)
+
+    pwf = ref.pixel_weighted_fusion
+    scorer_params, scorer_stats = {}, {}
+    for i, (conv, bn) in enumerate([(pwf.conv1_1, pwf.bn1_1),
+                                    (pwf.conv1_2, pwf.bn1_2),
+                                    (pwf.conv1_3, pwf.bn1_3)]):
+        scorer_params[f"Conv_{i}"] = _conv(conv)
+        scorer_params[f"BatchNorm_{i}"] = {
+            "scale": jnp.asarray(bn.weight.detach().numpy()),
+            "bias": jnp.asarray(bn.bias.detach().numpy())}
+        scorer_stats[f"BatchNorm_{i}"] = {
+            "mean": jnp.asarray(bn.running_mean.detach().numpy()),
+            "var": jnp.asarray(bn.running_var.detach().numpy())}
+    scorer_params["Conv_3"] = _conv(pwf.conv1_4)
+    variables = {
+        "params": {"pixel_weighted_fusion": scorer_params,
+                   "mlp": _lin(ref.mlp)},
+        "batch_stats": {"pixel_weighted_fusion": scorer_stats},
+    }
+    got = np.asarray(ours.apply(variables, xj, None, pj, amask))
+    got = got.transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
