@@ -18,16 +18,29 @@ from .iou import rotated_iou_matrix
 
 
 def nms_rotated(corners: np.ndarray, scores: np.ndarray,
-                threshold: float, top: int = 1000) -> np.ndarray:
+                threshold: float, top: int = 1000,
+                backend: str = "auto") -> np.ndarray:
     """Greedy rotated NMS on the host.
 
     corners: (N, 4, 2) or (N, 8, 3) box corners; scores: (N,).
     Returns indices of kept boxes in pick order.
+
+    backend='auto' uses the native C++ clipper (native/rotated_nms.cpp,
+    ~50x the numpy path on large late-fusion sweeps, identical pick
+    order — tests/test_native_nms.py) when it builds, else numpy;
+    'numpy' forces the reference-ordering numpy oracle.
     """
     corners = np.asarray(corners)
     scores = np.asarray(scores)
     if corners.shape[0] == 0:
         return np.array([], dtype=np.int32)
+
+    if backend == "auto":
+        from .nms_native import nms_rotated_native
+
+        keep = nms_rotated_native(corners, scores, threshold, top)
+        if keep is not None:
+            return keep
 
     iou = np.asarray(rotated_iou_matrix(corners, corners, np))
     ixs = scores.argsort()[::-1][:top]
