@@ -486,3 +486,90 @@ class RefFAXModule(nn.Module):
                          window_size=sa.get("window_size", x.shape[-1]),
                          name="self_attn")(x)
         return x
+
+
+class FAXRefCameraEncoder(nn.Module):
+    """Opt-in faithful FAX camera->BEV encoder (camera config
+    ``encoder: fax_ref``): multi-scale ResNet trunk + the exact
+    reference FAXModule stack, adapted to the repo's encoder interface
+    ((N, M, H, W, 3) images + calib -> (N, H', W', out_dim) NHWC BEV).
+    Structure-parity path for porting reference checkpoints; the TPU
+    redesign in :mod:`hmvit_tpu.models.fax` remains the serving
+    default."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, images, intrinsics, extrinsics,
+                 train: bool = False):
+        from .layers import NaiveDecoder
+        from .resnet import ResNetEncoder
+
+        cfg = self.config
+        n, m, img_h, img_w, _ = images.shape
+        id_pick = tuple(cfg.get("id_pick", (2, 3)))
+        trunk = ResNetEncoder(arch=cfg.get("backbone", "resnet34"),
+                              id_pick=id_pick, name="trunk")
+        feats = trunk(images.reshape(n * m, img_h, img_w, 3), train)
+        if not isinstance(feats, (list, tuple)):
+            feats = [feats]
+        # NHWC per (n*m) -> reference layout (n, m, c, h, w)
+        features = [f.reshape(n, m, *f.shape[1:]).transpose(0, 1, 4, 2, 3)
+                    for f in feats]
+        shapes = [(1, 1, 1, f.shape[2], f.shape[3], f.shape[4])
+                  for f in features]
+
+        n_scales = len(features)
+        dim = int(cfg.get("dim", 128))
+        bev = int(cfg.get("bev_size", 32))
+        win = int(cfg.get("window", 4))
+        fax_cfg = {
+            "dim": [dim] * n_scales,
+            "middle": list(cfg.get("middle", [2] * n_scales)),
+            "backbone_output_shape": shapes,
+            "bev_embedding": {
+                "sigma": 1.0,
+                # prior lives at the first scale; later scales halve it
+                "bev_height": bev * (2 ** (n_scales - 1)),
+                "bev_width": bev * (2 ** (n_scales - 1)),
+                "h_meters": float(cfg.get("bev_range", 100.0)),
+                "w_meters": float(cfg.get("bev_range", 100.0)),
+                "offset": 0.0,
+                "upsample_scales": [2 ** (n_scales - 1 - i)
+                                    for i in range(n_scales)][::-1],
+            },
+            "cross_view": {
+                "image_height": img_h, "image_width": img_w,
+                "qkv_bias": True,
+                "heads": list(cfg.get("heads_list",
+                                      [cfg.get("heads", 4)] * n_scales)),
+                "dim_head": list(cfg.get("dim_head_list",
+                                         [cfg.get("dim_head", 32)]
+                                         * n_scales)),
+            },
+            "cross_view_swap": {
+                "q_win_size": [[win, win]] * n_scales,
+                # CrossWinAttention needs equal window COUNTS on both
+                # sides: feat_win = fh * win / x_size per scale
+                "feat_win_size": [
+                    [max(1, shapes[i][4] * win
+                         // (bev * (2 ** (n_scales - 1 - i))))] * 2
+                    for i in range(n_scales)],
+                "bev_embedding_flag": [i == 0 for i in range(n_scales)],
+            },
+            "self_attn": {"dim_head": cfg.get("dim_head", 32),
+                          "window_size": bev},
+        }
+        i_inv = jnp.linalg.inv(
+            intrinsics.reshape(n, m, 3, 3).astype(jnp.float32))
+        e_inv = jnp.linalg.inv(
+            extrinsics.reshape(n, m, 4, 4).astype(jnp.float32))
+        x = RefFAXModule(fax_cfg, name="fax")(features, i_inv, e_inv,
+                                              train)
+        x = x.transpose(0, 2, 3, 1)  # NHWC
+        out_dim = int(cfg.get("out_dim", 256))
+        x = nn.Dense(out_dim, name="out_proj")(x)
+        up = int(cfg.get("decoder_layers", 2))
+        if up:
+            x = NaiveDecoder(num_layer=up, num_ch_dec=[out_dim] * up,
+                             use_upsample=True)(x, train)
+        return x

@@ -31,6 +31,12 @@ def make_camera_encoder(cfg: dict, name: str = "camera_encoder"):
         from .fax import FAXCameraEncoder
 
         return FAXCameraEncoder(cfg, name=name)
+    if kind == "fax_ref":
+        # reference-faithful FAX stack (structural twin; checkpoint-
+        # portable) — the redesigned 'fax' stays the serving default
+        from .fax_ref import FAXRefCameraEncoder
+
+        return FAXRefCameraEncoder(cfg, name=name)
     if kind == "bevformer":
         from .bevformer import BEVFormerEncoder
 

@@ -409,3 +409,31 @@ def test_cvt_cross_view_module_matches_reference():
     got = np.asarray(ours.apply(
         {"params": params, "batch_stats": stats}, *args))
     np.testing.assert_allclose(got, want[0], atol=5e-4, rtol=5e-4)
+
+
+def test_fax_ref_camera_encoder_forwards():
+    """The opt-in faithful encoder (camera config encoder: fax_ref)
+    produces a finite BEV through make_camera_encoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.hmvit import make_camera_encoder
+
+    cfg = {"encoder": "fax_ref", "backbone": "resnet18",
+           "id_pick": (2, 3), "dim": 16, "bev_size": 8, "window": 4,
+           "heads": 2, "dim_head": 8, "middle": [1, 1],
+           "out_dim": 24, "decoder_layers": 1, "bev_range": 20.48}
+    enc = make_camera_encoder(cfg)
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.normal(size=(1, 2, 64, 64, 3)).astype(
+        np.float32))
+    intr = np.tile(np.eye(3, dtype=np.float32), (1, 2, 1, 1))
+    intr[..., 0, 0] = intr[..., 1, 1] = 50.0
+    intr[..., 0, 2] = intr[..., 1, 2] = 32.0
+    extr = np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1))
+    v = enc.init(jax.random.key(0), images, jnp.asarray(intr),
+                 jnp.asarray(extr), False)
+    out = enc.apply(v, images, jnp.asarray(intr), jnp.asarray(extr),
+                    False)
+    assert out.ndim == 4 and out.shape[-1] == 24
+    assert np.isfinite(np.asarray(out)).all()
