@@ -223,3 +223,71 @@ class RefCrossViewModule(nn.Module):
             for j in range(middle[i]):
                 x = RefBottleneck(dim, name=f"layers_{i}_{j}")(x, train)
         return x
+
+
+class CVTRefCameraEncoder(nn.Module):
+    """Opt-in faithful CVT camera->BEV encoder (camera config
+    ``encoder: cvt_ref``): multi-scale ResNet trunk + the exact
+    reference CrossViewModule, adapted to the repo encoder interface
+    ((N, M, H, W, 3) images + calib -> (N, H', W', out_dim) NHWC BEV)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, images, intrinsics, extrinsics,
+                 train: bool = False):
+        from .layers import NaiveDecoder
+        from .resnet import ResNetEncoder
+
+        cfg = self.config
+        n, m, img_h, img_w, _ = images.shape
+        id_pick = tuple(cfg.get("id_pick", (2, 3)))
+        trunk = ResNetEncoder(arch=cfg.get("backbone", "resnet34"),
+                              id_pick=id_pick, name="trunk")
+        feats = trunk(images.reshape(n * m, img_h, img_w, 3), train)
+        if not isinstance(feats, (list, tuple)):
+            feats = [feats]
+        features = [f.reshape(n, m, *f.shape[1:]).transpose(0, 1, 4, 2, 3)
+                    for f in feats]
+        shapes = [(1, 1, 1, f.shape[2], f.shape[3], f.shape[4])
+                  for f in features]
+
+        n_scales = len(features)
+        dim = int(cfg.get("dim", 128))
+        bev = int(cfg.get("bev_size", 32))
+        n_blocks = int(cfg.get("decoder_blocks", 1))
+        cvm_cfg = {
+            "dim": dim,
+            "middle": list(cfg.get("middle", [2] * n_scales)),
+            "backbone_output_shape": shapes,
+            "bev_embedding": {
+                "sigma": 1.0,
+                # single shared grid at bev resolution: bev_height /
+                # 2**decoder_blocks == bev_size
+                "bev_height": bev * (2 ** n_blocks),
+                "bev_width": bev * (2 ** n_blocks),
+                "h_meters": float(cfg.get("bev_range", 100.0)),
+                "w_meters": float(cfg.get("bev_range", 100.0)),
+                "offset": 0.0,
+                "decoder_blocks": list(range(n_blocks)),
+            },
+            "cross_view": {
+                "image_height": img_h, "image_width": img_w,
+                "qkv_bias": True, "heads": int(cfg.get("heads", 4)),
+                "dim_head": int(cfg.get("dim_head", 32)),
+                "no_image_features": False, "skip": True,
+            },
+        }
+        i_inv = jnp.linalg.inv(
+            intrinsics.reshape(n, m, 3, 3).astype(jnp.float32))
+        e_inv = jnp.linalg.inv(
+            extrinsics.reshape(n, m, 4, 4).astype(jnp.float32))
+        x = RefCrossViewModule(cvm_cfg, name="cvt")(features, i_inv,
+                                                    e_inv, train)
+        x = x.transpose(0, 2, 3, 1)
+        out_dim = int(cfg.get("out_dim", 256))
+        x = nn.Dense(out_dim, name="out_proj")(x)
+        up = int(cfg.get("decoder_layers", 2))
+        if up:
+            x = NaiveDecoder(num_layer=up, num_ch_dec=[out_dim] * up,
+                             use_upsample=True)(x, train)
+        return x

@@ -37,6 +37,10 @@ def make_camera_encoder(cfg: dict, name: str = "camera_encoder"):
         from .fax_ref import FAXRefCameraEncoder
 
         return FAXRefCameraEncoder(cfg, name=name)
+    if kind == "cvt_ref":
+        from .cvt_ref import CVTRefCameraEncoder
+
+        return CVTRefCameraEncoder(cfg, name=name)
     if kind == "bevformer":
         from .bevformer import BEVFormerEncoder
 

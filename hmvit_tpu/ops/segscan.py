@@ -41,11 +41,13 @@ def _kernel(pid_ref, val_ref, out_ref, carry_val, carry_pid, *,
 
     for k in range(steps):
         s = 1 << k
-        same = jnp.concatenate(
-            [jnp.zeros((s, 1), jnp.bool_), pid[s:] == pid[:-s]], axis=0)
+        # int32 sentinel-shift, then full-array compare — Mosaic cannot
+        # concatenate boolean vregs
+        pid_sh = jnp.concatenate(
+            [jnp.full((s, 1), -2147483647, jnp.int32), pid[:-s]], axis=0)
         shifted = jnp.concatenate(
             [jnp.full((s, c), _NEG, jnp.float32), x[:-s]], axis=0)
-        x = jnp.where(same, jnp.maximum(x, shifted), x)
+        x = jnp.where(pid == pid_sh, jnp.maximum(x, shifted), x)
 
     # splice the previous block's tail run into this block's head run
     head = (pid == pid[0, 0]) & (pid[0, 0] == carry_pid[0])
@@ -56,9 +58,11 @@ def _kernel(pid_ref, val_ref, out_ref, carry_val, carry_pid, *,
     carry_pid[0] = pid[r - 1, 0]
 
 
-def pick_block_rows(p: int, cap: int = 8192) -> int:
+def pick_block_rows(p: int, cap: int = 2048) -> int:
     """Largest multiple-of-8 divisor of ``p`` up to ``cap`` (0 if none
-    — the caller falls back to the XLA scan)."""
+    — the caller falls back to the XLA scan).  The cap is VMEM-bound:
+    6000-row blocks at C=64 f32 exceeded the 16 MB scoped limit (24.4 MB
+    with double buffering + unrolled shift temps)."""
     for cand in range(min(cap, p), 7, -8):
         if p % cand == 0:
             return cand

@@ -225,7 +225,8 @@ def pillar_point_features(pillar_info, use_absolute_xyz: bool = True,
 def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
                        num_clouds: int = 1, sorted_ids: bool = True,
                        max_run: int | None = None,
-                       use_expand_kernel: bool = False):
+                       use_expand_kernel: bool = False,
+                       use_scan_kernel: bool = False):
     """Max-pool per-point features into the dense BEV grid.
 
     point_features: (P, C) flat over all clouds; returns
@@ -258,9 +259,30 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
     else:
         steps = scan_steps(max_run, p)
         pid2 = jnp.where(keep, pillar_id, -1)
-        scanned = segmented_scan(point_features, pid2, steps, jnp.maximum,
-                                 jnp.asarray(-jnp.inf,
-                                             point_features.dtype))
+        c = point_features.shape[-1]
+        block = 0
+        if (use_scan_kernel and jax.default_backend() == "tpu"
+                and c % 8 == 0):
+            from .segscan import pick_block_rows
+
+            block = pick_block_rows(p)
+        if block >= 512:
+            # one-pass Pallas scan (ops/segscan.py, oracle-pinned in
+            # tests/test_segscan.py).  EXPERIMENT, off by default:
+            # measured 6.51 ms vs 6.27 ms for the XLA log-shift scan at
+            # production shapes — the scan is latency- not bandwidth-
+            # bound there (XLA already fuses the 5 passes with the
+            # upstream PFN elementwise work), so the single-pass win
+            # never materializes.  Kept for larger-C workloads.
+            from .segscan import segmented_max_scan_tpu
+
+            scanned = segmented_max_scan_tpu(point_features, pid2,
+                                             steps, block)
+        else:
+            scanned = segmented_scan(point_features, pid2, steps,
+                                     jnp.maximum,
+                                     jnp.asarray(-jnp.inf,
+                                                 point_features.dtype))
         scanned = scanned * keep[:, None].astype(scanned.dtype)
         if use_expand_kernel:
             from .expand import (

@@ -437,3 +437,30 @@ def test_fax_ref_camera_encoder_forwards():
                     False)
     assert out.ndim == 4 and out.shape[-1] == 24
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cvt_ref_camera_encoder_forwards():
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.hmvit import make_camera_encoder
+
+    cfg = {"encoder": "cvt_ref", "backbone": "resnet18",
+           "id_pick": (2, 3), "dim": 16, "bev_size": 8,
+           "decoder_blocks": 1, "heads": 2, "dim_head": 8,
+           "middle": [1, 1], "out_dim": 24, "decoder_layers": 1,
+           "bev_range": 20.48}
+    enc = make_camera_encoder(cfg)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.normal(size=(1, 2, 64, 64, 3)).astype(
+        np.float32))
+    intr = np.tile(np.eye(3, dtype=np.float32), (1, 2, 1, 1))
+    intr[..., 0, 0] = intr[..., 1, 1] = 50.0
+    intr[..., 0, 2] = intr[..., 1, 2] = 32.0
+    extr = np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1))
+    v = enc.init(jax.random.key(0), images, jnp.asarray(intr),
+                 jnp.asarray(extr), False)
+    out = enc.apply(v, images, jnp.asarray(intr), jnp.asarray(extr),
+                    False)
+    assert out.ndim == 4 and out.shape[-1] == 24
+    assert np.isfinite(np.asarray(out)).all()
