@@ -137,7 +137,8 @@ class WindowSelfAttention(nn.Module):
 class PyramidWindowAttention(nn.Module):
     """Parallel window self-attentions at several sizes, SplitAttn-fused."""
     dim: int
-    windows: tuple = (4, 8)
+    # reference v2xt pyramid: 3 window sizes (point_pillar_transformer.yaml:127)
+    windows: tuple = (4, 8, 16)
     heads: int = 8
 
     @nn.compact
@@ -168,7 +169,7 @@ class V2XTransformer(nn.Module):
     dim: int
     depth: int = 1
     heads: int = 8
-    windows: tuple = (4, 8)
+    windows: tuple = (4, 8, 16)
     discrete_ratio: float = 0.4
     downsample_rate: float = 4.0
     max_delay: int = 10  # RTE table size (100 ms frames)

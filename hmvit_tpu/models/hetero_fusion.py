@@ -298,8 +298,13 @@ class SplitAttn(nn.Module):
         n = len(branches)
         stacked = jnp.stack(branches, axis=-2)  # (B, L, H, W, N, C)
         gap = sum(branches).mean(axis=(2, 3), keepdims=True)  # (B, L, 1, 1, C)
-        hidden = nn.relu(nn.Dense(self.input_dim)(gap))
-        logits = nn.Dense(n * self.input_dim)(hidden)
+        # faithful to the reference block (split_attn.py:40-48):
+        # bias-less fc1 -> LayerNorm -> ReLU -> bias-less fc2, radix
+        # softmax over the branch axis
+        hidden = nn.relu(nn.LayerNorm(epsilon=1e-5, name="bn1")(
+            nn.Dense(self.input_dim, use_bias=False, name="fc1")(gap)))
+        logits = nn.Dense(n * self.input_dim, use_bias=False,
+                          name="fc2")(hidden)
         logits = logits.reshape(*logits.shape[:-1], n, self.input_dim)
         attn = jax.nn.softmax(logits, axis=-2)
         return (stacked * attn).sum(axis=-2)

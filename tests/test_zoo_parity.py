@@ -261,3 +261,134 @@ def test_disconet_matches_reference():
     got = np.asarray(ours.apply(variables, xj, None, pj, amask))
     got = got.transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
+def test_base_window_attention_matches_reference():
+    """Per-agent pyramid window self-attention (reference:
+    opencood/models/mwin_tranformer.py:18-80) — incl. the head-shared
+    2D relative position table mapped onto the per-head flat table (the
+    reference indexes P[s - t]; ours indexes table[t - s])."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.fusion.v2xvit import WindowSelfAttention
+    from hmvit_tpu.models.hetero_fusion import relative_position_index
+
+    _install_reference()
+    from opencood.models.mwin_tranformer import (
+        BaseWindowAttention as RefBWA,
+        get_relative_distances,
+    )
+
+    torch.manual_seed(6)
+    b, l, hw, dim, heads, win = 1, 2, 8, 32, 2, 4
+    ref = RefBWA(dim, heads=heads, dim_head=dim // heads, drop_out=0.0,
+                 window_size=win, relative_pos_embedding=True).eval()
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(b, l, hw, hw, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    ours = WindowSelfAttention(dim, win, heads)
+    xj = jnp.asarray(x)
+    ours.init(jax.random.key(0), xj)
+
+    # map the reference (2w-1, 2w-1) shared table into our per-head
+    # ((2w-1)^2, heads) flat table through both index conventions
+    p_ref = ref.pos_embedding.detach().numpy()
+    rel_ref = np.asarray(get_relative_distances(win)) + win - 1  # (T,T,2)
+    idx_ours = relative_position_index(win)  # (T, T)
+    flat = np.zeros(((2 * win - 1) ** 2,), np.float32)
+    flat[idx_ours] = p_ref[rel_ref[..., 0], rel_ref[..., 1]]
+    table = np.tile(flat[:, None], (1, heads))
+
+    params = {
+        "Dense_0": _lin(ref.to_qkv),
+        "Dense_1": _lin(ref.to_out[0]),
+        "rel_pos_bias": jnp.asarray(table),
+    }
+    got = np.asarray(ours.apply({"params": params}, xj))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_split_attn_matches_reference():
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.hetero_fusion import SplitAttn
+
+    _install_reference()
+    from opencood.models.fusion_modules.split_attn import (
+        SplitAttn as RefSplit,
+    )
+
+    torch.manual_seed(7)
+    dim, n = 16, 3
+    ref = RefSplit(dim, num_windows=n).eval()
+    rng = np.random.default_rng(7)
+    branches = [rng.normal(size=(1, 2, 4, 4, dim)).astype(np.float32)
+                for _ in range(n)]
+    with torch.no_grad():
+        want = ref([torch.from_numpy(br) for br in branches]).numpy()
+
+    ours = SplitAttn(dim)
+    jb = [jnp.asarray(br) for br in branches]
+    ours.init(jax.random.key(0), jb)
+    params = {"fc1": _lin(ref.fc1), "fc2": _lin(ref.fc2),
+              "bn1": _ln(ref.bn1)}
+    got = np.asarray(ours.apply({"params": params}, jb))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_pyramid_window_attention_matches_reference():
+    """Full pyramid (2 window sizes + SplitAttn fuse; the reference
+    hard-codes SplitAttn(256))."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.fusion.v2xvit import PyramidWindowAttention
+    from hmvit_tpu.models.hetero_fusion import relative_position_index
+
+    _install_reference()
+    from opencood.models.mwin_tranformer import (
+        PyramidWindowAttention as RefPWA,
+        get_relative_distances,
+    )
+
+    torch.manual_seed(8)
+    b, l, hw, dim, heads = 1, 2, 16, 256, 8
+    wins = [4, 8, 16]  # the reference v2xt pyramid (radix-3 SplitAttn)
+    ref = RefPWA(dim, heads=[heads] * 3, dim_heads=[dim // heads] * 3,
+                 drop_out=0.0, window_size=wins,
+                 relative_pos_embedding=True,
+                 fuse_method="split_attn").eval()
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(b, l, hw, hw, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    ours = PyramidWindowAttention(dim, windows=tuple(wins), heads=heads)
+    xj = jnp.asarray(x)
+    ours.init(jax.random.key(0), xj)
+
+    def bwa_params(m, win):
+        p_ref = m.pos_embedding.detach().numpy()
+        rel_ref = np.asarray(get_relative_distances(win)) + win - 1
+        idx_ours = relative_position_index(win)
+        flat = np.zeros(((2 * win - 1) ** 2,), np.float32)
+        flat[idx_ours] = p_ref[rel_ref[..., 0], rel_ref[..., 1]]
+        import jax.numpy as jnp
+
+        return {"Dense_0": _lin(m.to_qkv), "Dense_1": _lin(m.to_out[0]),
+                "rel_pos_bias": jnp.asarray(
+                    np.tile(flat[:, None], (1, heads)))}
+
+    params = {
+        f"WindowSelfAttention_{i}": bwa_params(ref.pwmsa[i], wins[i])
+        for i in range(3)
+    }
+    params["SplitAttn_0"] = {"fc1": _lin(ref.split_attn.fc1),
+                             "fc2": _lin(ref.split_attn.fc2),
+                             "bn1": _ln(ref.split_attn.bn1)}
+    got = np.asarray(ours.apply({"params": params}, xj))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
