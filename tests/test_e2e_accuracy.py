@@ -59,7 +59,8 @@ def _frame_ap(pp, anchors, psm, rm, gt_corners, stat):
 
 
 def _train_to_ap(model, variables, jb, labels, eval_fn, max_steps,
-                 lr=2e-3, eval_every=50, target=0.9):
+                 lr=2e-3, eval_every=50, target=0.9,
+                 loss_fn=point_pillar_loss):
     """Adam overfit loop with early stop on AP@0.5 >= target.
 
     Returns (best_ap50, step_reached or None)."""
@@ -73,7 +74,7 @@ def _train_to_ap(model, variables, jb, labels, eval_fn, max_steps,
         def lf(p):
             out, up = model.apply({"params": p, "batch_stats": bs}, jb,
                                   train=True, mutable=["batch_stats"])
-            total, _ = point_pillar_loss(out, labels)
+            total, _ = loss_fn(out, labels)
             return total, up.get("batch_stats", bs)
 
         (total, nbs), g = jax.value_and_grad(lf, has_aux=True)(params)
@@ -256,3 +257,76 @@ def test_planar_vs_deformable_lift_ab():
     sp = results["planar"][1] or 10 ** 9
     sd = results["deformable"][1] or 10 ** 9
     assert sp <= max(2 * sd, 400), results
+
+
+def test_pixor_anchor_free_train_to_ap():
+    """Anchor-free PIXOR closure: on-device raster -> backbone ->
+    direct cos/sin regression -> BevPostprocessor decode -> rotated
+    NMS -> AP@0.5 >= 0.9 — proves the NEW anchor-free pipeline detects
+    end-to-end (label maps, denormalization, grid centers, corner
+    template all round-trip through training)."""
+    from hmvit_tpu.models.pixor import PIXORDetector, geometry_from_config
+    from hmvit_tpu.postprocess_bev import BevPostprocessor, bev_label_map
+    from hmvit_tpu.train.losses import pixor_loss
+    from hmvit_tpu.utils.boxes import boxes_to_corners_2d
+
+    pr = [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0]
+    geom = geometry_from_config({"res": 0.4, "downsample_rate": 4,
+                                 "cav_lidar_range": pr})
+
+    rng = np.random.default_rng(9)
+    vehicles, poses = make_scene(rng, num_agents=1, num_vehicles=4,
+                                 area=8)
+    points, mask = lidar_from_boxes(rng, vehicles, poses[0],
+                                    max_points=4096, max_range=20.0)
+    gt_hwl = vehicles_in_agent_frame(vehicles, poses[0], pr)
+    gt_lwh = gt_hwl[:, [0, 1, 2, 5, 4, 3, 6]]  # (h,w,l) -> (l,w,h)
+
+    gt_pad = np.zeros((20, 7))
+    gt_pad[: len(gt_lwh)] = gt_lwh
+    m = np.zeros(20)
+    m[: len(gt_lwh)] = 1
+    lab = bev_label_map(gt_pad, m, geom)["label_map"]
+    assert lab[0].sum() >= len(gt_lwh), "every GT box must label a cell"
+    labels = {"label_map": jnp.asarray(lab)[None]}
+
+    model = PIXORDetector({"res": 0.4, "downsample_rate": 4,
+                           "lidar_range": pr, "use_bn": True})
+    jb = (jnp.asarray(points)[None], jnp.asarray(mask)[None])
+    variables = model.init(jax.random.key(2), *jb, train=False)
+
+    pp = BevPostprocessor({"geometry_param": geom, "nms_thresh": 0.15,
+                           "target_args": {"score_threshold": 0.5}},
+                          train=False)
+    gt_c2 = boxes_to_corners_2d(gt_lwh, "lwh")[..., :2]
+    lo = np.concatenate([gt_c2, np.zeros_like(gt_c2[..., :1])], axis=-1)
+    gt_c3 = np.concatenate([lo, lo + np.array([0, 0, 1.5])], axis=1)
+
+    class Wrap:
+        def apply(self, v, b, train=False, mutable=None):
+            if mutable is not None:
+                return model.apply(v, *b, train=train, mutable=mutable)
+            return model.apply(v, *b, train=train)
+
+    def eval_fn(params, bs):
+        out = model.apply({"params": params, "batch_stats": bs}, *jb,
+                          train=False)
+        corners, scores = pp.post_process(
+            {"ego": {"transformation_matrix": np.eye(4)}},
+            {"ego": {"cls": np.asarray(out["cls"][0]),
+                     "reg": np.asarray(out["reg"][0])}})
+        stat = E.new_result_stat("iou")
+        if corners is None:
+            det3, scores = np.zeros((0, 8, 3)), np.zeros((0,))
+        else:
+            lo = np.concatenate(
+                [corners, np.zeros_like(corners[..., :1])], axis=-1)
+            det3 = np.concatenate([lo, lo + np.array([0, 0, 1.5])],
+                                  axis=1)
+        E.accumulate_frame(det3, scores, gt_c3, stat)
+        return E.final_results(stat)["iou"]["ap_50"]
+
+    best, step = _train_to_ap(Wrap(), variables, jb, labels, eval_fn,
+                              max_steps=800, lr=2e-3,
+                              loss_fn=pixor_loss)
+    assert best >= 0.9, f"anchor-free PIXOR AP@0.5 stalled at {best}"
