@@ -287,6 +287,7 @@ STAGES = {
                       stage_phase("bfloat16", "grid")),
     "camera": lambda: (stage_camera("bfloat16"),
                        stage_camera("float32")),
+    "camera2": lambda: (stage_camera("bfloat16", n_slots=2),),
     "backbone": lambda: (stage_backbone("bfloat16"),
                          stage_backbone("float32")),
     "fusion": lambda: (stage_fusion("bfloat16"),
