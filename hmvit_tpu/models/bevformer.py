@@ -169,6 +169,60 @@ class BEVFormerLayer(nn.Module):
         return x + ff
 
 
+def planar_lift_prepare(cam_feats, proj, bev_range, z_values, img_hw,
+                        bev_hw):
+    """Layer-INDEPENDENT geometry + warp pass-1 for the planar lift:
+    (camera, z-plane) homographies, hypothesis visibility, and the
+    projective-reduce prepass over the RAW camera features.  The warp is
+    linear in the features, so the per-layer value projection commutes
+    to after the reduce — the encoder computes this once and every
+    layer's PlanarLiftCrossAttention reuses it (saves 2/3 of the
+    banded-matrix construction + pass-1 contractions at 3 layers)."""
+    from ..ops.projective_warp import projective_reduce_prepare
+
+    n, m, fh, fw = cam_feats.shape[:4]
+    z = z_values.shape[0]
+    hb = wb = bev_hw
+    img_h, img_w = img_hw
+    step = 2 * bev_range / wb
+
+    # homography per (n, m, k): image pixels <- BEV pixels on z=z_k
+    # uvw = P @ [x, y, z_k, 1]; [x, y] = step*[x', y'] + (step/2 - R)
+    p = proj.astype(jnp.float32)  # (N, M, 3, 4)
+    col_x = p[..., 0] * step
+    col_y = p[..., 1] * step
+    off = (step / 2.0) - bev_range
+    const = (p[..., 0] * off + p[..., 1] * off + p[..., 3])  # (N, M, 3)
+    const_k = const[:, :, None, :] + (p[..., 2][:, :, None, :]
+                                      * z_values[None, None, :, None])
+    h_img = jnp.stack(
+        [jnp.broadcast_to(col_x[:, :, None], const_k.shape),
+         jnp.broadcast_to(col_y[:, :, None], const_k.shape),
+         const_k], axis=-1)  # (N, M, Z, 3, 3)
+    # image pixels -> feature pixels
+    scale = jnp.diag(jnp.asarray([fw / img_w, fh / img_h, 1.0],
+                                 jnp.float32))
+    h_feat = jnp.einsum("ij,nmkjl->nmkil", scale, h_img)
+
+    # visibility per hypothesis (dense, no gathers)
+    ys = jnp.arange(hb, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(wb, dtype=jnp.float32)[None, None, :]
+    hf = h_feat.reshape(-1, 3, 3)
+    w_ = (hf[:, 2, 0, None, None] * xs + hf[:, 2, 1, None, None] * ys
+          + hf[:, 2, 2, None, None])
+    sw = jnp.where(jnp.abs(w_) < 1e-6, 1e-6, w_)
+    u_ = (hf[:, 0, 0, None, None] * xs + hf[:, 0, 1, None, None] * ys
+          + hf[:, 0, 2, None, None]) / sw
+    v_ = (hf[:, 1, 0, None, None] * xs + hf[:, 1, 1, None, None] * ys
+          + hf[:, 1, 2, None, None]) / sw
+    vis = ((w_ > 0.1) & (u_ >= 0) & (u_ < fw)
+           & (v_ >= 0) & (v_ < fh)).reshape(n, m, z, hb, wb)
+
+    state = projective_reduce_prepare(
+        cam_feats, h_feat.reshape(n, m * z, 3, 3), (hb, wb))
+    return {"state": state, "vis": vis, "m": m, "z": z}
+
+
 class PlanarLiftCrossAttention(nn.Module):
     """TPU-native spatial cross-attention: for each (camera, height
     plane) the BEV->image mapping is a HOMOGRAPHY, so sampling every
@@ -176,56 +230,25 @@ class PlanarLiftCrossAttention(nn.Module):
     warp on the MXU (ops/projective_warp.py) instead of millions of
     per-query gathers (the reference's CUDA ms_deform_attn).  Per-query
     adaptive weights over the (camera, plane) hypotheses replace the
-    learned attention weights; invisible hypotheses are masked."""
+    learned attention weights; invisible hypotheses are masked.  The
+    value projection applies AFTER the (linear) warp, bias-free, so the
+    geometry/pass-1 state can be shared across encoder layers via
+    ``prepared`` (see :func:`planar_lift_prepare`)."""
     dim: int
     z_points: int = 4
 
     @nn.compact
     def __call__(self, query_2d, cam_feats, proj, bev_range, z_values,
-                 img_hw, compute_dtype=jnp.float32):
-        from ..ops.projective_warp import warp_projective_reduce
+                 img_hw, compute_dtype=jnp.float32, prepared=None):
+        from ..ops.projective_warp import projective_reduce_apply
 
         n, hb, wb, c = query_2d.shape
-        m, fh, fw = cam_feats.shape[1:4]
-        z = self.z_points
-        img_h, img_w = img_hw
-        step = 2 * bev_range / wb
-
-        # homography per (n, m, k): image pixels <- BEV pixels on z=z_k
-        # uvw = P @ [x, y, z_k, 1]; [x, y] = step*[x', y'] + (step/2 - R)
-        p = proj.astype(jnp.float32)  # (N, M, 3, 4)
-        col_x = p[..., 0] * step
-        col_y = p[..., 1] * step
-        off = (step / 2.0) - bev_range
-        const = (p[..., 0] * off + p[..., 1] * off
-                 + p[..., 3])  # (N, M, 3)
-        const_k = const[:, :, None, :] + (p[..., 2][:, :, None, :]
-                                          * z_values[None, None, :, None])
-        h_img = jnp.stack(
-            [jnp.broadcast_to(col_x[:, :, None], const_k.shape),
-             jnp.broadcast_to(col_y[:, :, None], const_k.shape),
-             const_k], axis=-1)  # (N, M, Z, 3, 3)
-        # image pixels -> feature pixels
-        scale = jnp.diag(jnp.asarray([fw / img_w, fh / img_h, 1.0],
-                                     jnp.float32))
-        h_feat = jnp.einsum("ij,nmkjl->nmkil", scale, h_img)
-
-        value = nn.Dense(self.dim, name="value")(
-            cam_feats.astype(compute_dtype))
-
-        # visibility per hypothesis (dense, no gathers)
-        ys = jnp.arange(hb, dtype=jnp.float32)[None, :, None]
-        xs = jnp.arange(wb, dtype=jnp.float32)[None, None, :]
-        hf = h_feat.reshape(-1, 3, 3)
-        w_ = (hf[:, 2, 0, None, None] * xs + hf[:, 2, 1, None, None] * ys
-              + hf[:, 2, 2, None, None])
-        sw = jnp.where(jnp.abs(w_) < 1e-6, 1e-6, w_)
-        u_ = (hf[:, 0, 0, None, None] * xs + hf[:, 0, 1, None, None] * ys
-              + hf[:, 0, 2, None, None]) / sw
-        v_ = (hf[:, 1, 0, None, None] * xs + hf[:, 1, 1, None, None] * ys
-              + hf[:, 1, 2, None, None]) / sw
-        vis = ((w_ > 0.1) & (u_ >= 0) & (u_ < fw)
-               & (v_ >= 0) & (v_ < fh)).reshape(n, m, z, hb, wb)
+        if prepared is None:
+            prepared = planar_lift_prepare(
+                cam_feats.astype(compute_dtype), proj, bev_range,
+                z_values, img_hw, hb)
+        vis = prepared["vis"]
+        m, z = prepared["m"], prepared["z"]
 
         logits = nn.Dense(m * z, name="hypo_weights")(query_2d)
         logits = jnp.moveaxis(
@@ -240,9 +263,9 @@ class PlanarLiftCrossAttention(nn.Module):
         # fused weighted hypothesis reduction: the (N, M*Z, hb, wb, C)
         # per-hypothesis warps are never materialized — the weights fold
         # into the warp's pass-2 matrices (ops/projective_warp.py)
-        out = warp_projective_reduce(
-            value, h_feat.reshape(n, m * z, 3, 3), (hb, wb),
-            weights).astype(compute_dtype)
+        out = projective_reduce_apply(prepared["state"],
+                                      weights).astype(compute_dtype)
+        out = nn.Dense(self.dim, use_bias=False, name="value")(out)
         return nn.Dense(self.dim, name="out")(out)
 
 
@@ -321,13 +344,18 @@ class BEVFormerEncoder(nn.Module):
         x = jnp.broadcast_to(bev_embed[None],
                              (n, bev_hw, bev_hw, dim)).astype(cdt)
 
+        # geometry + warp pass-1 shared by all layers (the lift's value
+        # projection commutes past the linear warp)
+        prepared = planar_lift_prepare(cam_feats.astype(cdt), proj,
+                                       bev_range, z_values,
+                                       (img_h, img_w), bev_hw)
         for _ in range(layers):
             x = x + BEVWindowSelfAttention(dim, window, heads)(
                 nn.LayerNorm()(x))
             x = x + PlanarLiftCrossAttention(
                 dim, z_points=len(z_values))(
                 nn.LayerNorm()(x), cam_feats, proj, bev_range, z_values,
-                (img_h, img_w), cdt)
+                (img_h, img_w), cdt, prepared=prepared)
             ff = nn.Dense(dim)(
                 nn.gelu(nn.Dense(2 * dim)(nn.LayerNorm()(x))))
             x = x + ff

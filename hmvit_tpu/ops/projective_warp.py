@@ -126,6 +126,58 @@ def _order_pick(h, dsize):
     return q_a >= q_b
 
 
+def projective_reduce_prepare(src, h33, dsize):
+    """Weight-INDEPENDENT half of :func:`warp_projective_reduce`:
+    pass-1 contractions + pass-2 banded matrices + the conditioning
+    order pick.  Callers that apply several different per-pixel weight
+    sets to the same (src, homographies) — e.g. the BEVFormer planar
+    lift's per-layer hypothesis weights — compute this ONCE and call
+    :func:`projective_reduce_apply` per weight set (the warp is linear
+    in src, so per-layer value projections commute to after the
+    reduce)."""
+    n, ks, hs, ws, c = src.shape
+    k = h33.shape[1]
+    rep = k // ks
+    hd, wd = dsize
+    assert hs == ws and k % ks == 0
+    dtype = src.dtype
+
+    hf = h33.reshape(n * k, 3, 3).astype(jnp.float32)
+    h_sw = jnp.stack([hf[:, 1], hf[:, 0], hf[:, 2]], axis=1)
+    srcf = src.reshape(n * ks, hs, ws, c)
+
+    tmp_a, s2_a = _projective_passes_rep(srcf, hf, dsize, dtype, rep)
+    tmp_b, s2_b = _projective_passes_rep(
+        jnp.swapaxes(srcf, 1, 2), h_sw, dsize, dtype, rep)
+    pick_a = _order_pick(hf, dsize).reshape(n, k, hd, wd)
+
+    u_cnt = s2_a.shape[-1]
+    return {
+        "tmp_a": tmp_a.reshape(n, k, hd, u_cnt, c),
+        "tmp_b": tmp_b.reshape(n, k, hd, u_cnt, c),
+        "s2_a": s2_a.reshape(n, k, hd, wd, u_cnt),
+        "s2_b": s2_b.reshape(n, k, hd, wd, u_cnt),
+        "pick_a": pick_a,
+        "dtype": dtype,
+    }
+
+
+def projective_reduce_apply(state, weights):
+    """Finish the reduction for one per-destination-pixel weight set:
+    fold (weights x order pick) into pass 2 and contract."""
+    dtype = state["dtype"]
+    wgt = weights.astype(jnp.float32)
+    w_a = (wgt * state["pick_a"]).astype(dtype)[..., None]
+    w_b = (wgt * (1.0 - state["pick_a"])).astype(dtype)[..., None]
+    s2_a = state["s2_a"] * w_a
+    s2_b = state["s2_b"] * w_b
+    out = (jnp.einsum("nkyxu,nkyuc->nyxc", s2_a, state["tmp_a"],
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("nkyxu,nkyuc->nyxc", s2_b, state["tmp_b"],
+                        preferred_element_type=jnp.float32))
+    return out.astype(dtype)
+
+
 def warp_projective_reduce(src, h33, dsize, weights):
     """Fused weighted reduction over warp hypotheses:
 
@@ -143,37 +195,8 @@ def warp_projective_reduce(src, h33, dsize, weights):
     the weights — and the per-pixel conditioning order pick — are folded
     into pass 2's banded matrix, and (hypothesis, source-column) contract
     jointly in one batched MXU matmul per order."""
-    n, ks, hs, ws, c = src.shape
-    k = h33.shape[1]
-    rep = k // ks
-    hd, wd = dsize
-    assert hs == ws and k % ks == 0
-    dtype = src.dtype
-
-    hf = h33.reshape(n * k, 3, 3).astype(jnp.float32)
-    h_sw = jnp.stack([hf[:, 1], hf[:, 0], hf[:, 2]], axis=1)
-    srcf = src.reshape(n * ks, hs, ws, c)
-
-    tmp_a, s2_a = _projective_passes_rep(srcf, hf, dsize, dtype, rep)
-    tmp_b, s2_b = _projective_passes_rep(
-        jnp.swapaxes(srcf, 1, 2), h_sw, dsize, dtype, rep)
-
-    pick_a = _order_pick(hf, dsize).reshape(n, k, hd, wd)
-    wgt = weights.astype(jnp.float32)
-    w_a = (wgt * pick_a).astype(dtype)[..., None]        # (N, K, Y, X, 1)
-    w_b = (wgt * (1.0 - pick_a)).astype(dtype)[..., None]
-
-    u_cnt = s2_a.shape[-1]
-    s2_a = s2_a.reshape(n, k, hd, wd, u_cnt) * w_a
-    s2_b = s2_b.reshape(n, k, hd, wd, u_cnt) * w_b
-    tmp_a = tmp_a.reshape(n, k, hd, u_cnt, c)
-    tmp_b = tmp_b.reshape(n, k, hd, u_cnt, c)
-
-    out = (jnp.einsum("nkyxu,nkyuc->nyxc", s2_a, tmp_a,
-                      preferred_element_type=jnp.float32)
-           + jnp.einsum("nkyxu,nkyuc->nyxc", s2_b, tmp_b,
-                        preferred_element_type=jnp.float32))
-    return out.astype(dtype)
+    return projective_reduce_apply(
+        projective_reduce_prepare(src, h33, dsize), weights)
 
 
 def _projective_passes_rep(src_in, h, dsize, dtype, rep):

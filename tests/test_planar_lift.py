@@ -55,10 +55,11 @@ def test_ground_marker_lands_at_correct_bev_cell():
     q = jnp.zeros((1, bev, bev, 8))
     params = mod.init(jax.random.key(0), q, jnp.asarray(feats), proj,
                       rng_half, z_values, (img, img))
-    # identity value/out projections isolate the geometry
+    # identity value/out projections isolate the geometry (the value
+    # projection is bias-free so it commutes past the linear warp)
     p = dict(params["params"])
     eye = jnp.eye(8)
-    p["value"] = {"kernel": eye, "bias": jnp.zeros(8)}
+    p["value"] = {"kernel": eye}
     p["out"] = {"kernel": eye, "bias": jnp.zeros(8)}
     out = np.asarray(mod.apply({"params": p}, q, jnp.asarray(feats),
                                proj, rng_half, z_values, (img, img)))
