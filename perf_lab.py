@@ -175,8 +175,10 @@ def stage_phase(compute_dtype="float32", style="local"):
 
 
 def _prod_camera_cfg(compute_dtype="float32"):
+    # keep in lockstep with bench.py PROD_CFG["camera"]
     return {"encoder": "bevformer", "lift": "planar",
-            "backbone": "resnet50", "id_pick": [2],
+            "backbone": "resnet50", "id_pick": [2, 3, 4],
+            "fpn": True, "fpn_channels": 256,
             "dim": 256, "bev_size": 128, "out_dim": 256,
             "num_layers": 3, "heads": 8, "window": 8,
             "num_points_in_pillar": 4, "decoder_layers": 0,
@@ -202,6 +204,12 @@ def stage_camera(compute_dtype="float32", n_slots=L, img=512):
     extr = extr.at[:, :, :3, :3].set(rot[None]).at[:, :, 2, 3].set(1.6)
     enc = make_camera_encoder(_prod_camera_cfg(compute_dtype))
     variables = enc.init(jax.random.key(0), images, intr, extr, False)
+    if compute_dtype == "bfloat16":
+        # mirror bench.py serving: params cast to bf16 too (fp32 params
+        # + bf16 inputs silently promote every conv to fp32)
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, variables)
 
     @jax.jit
     def run(v, im, ii, ee):
