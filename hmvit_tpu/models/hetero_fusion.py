@@ -142,10 +142,8 @@ class HeteroWindowAttention(nn.Module):
 
         q = HeteroDense(self.dim, self.num_types,
                         name="to_q")(x[:, :r], mode[:, :r], sm_r)
-        k = HeteroDense(self.dim, self.num_types, name="to_k")(
-            x, mode, static_modes)
-        v = HeteroDense(self.dim, self.num_types, name="to_v")(
-            x, mode, static_modes)
+        to_k = HeteroDense(self.dim, self.num_types, name="to_k")
+        to_v = HeteroDense(self.dim, self.num_types, name="to_v")
 
         # Relation-typed weights.  The reference applies
         # W_att[type_i, type_j] between q_i and warped k_j per (i, j)
@@ -161,18 +159,15 @@ class HeteroWindowAttention(nn.Module):
         rel_msg = self.param(
             "relation_msg", nn.initializers.xavier_uniform(),
             (num_rel, heads, d, d))
-        # idx[tau, b, j] = tau * num_types + mode[b, j].  With a static
-        # receiver layout, fold only for the receiver types actually
-        # present — the ego-only final phase then builds ONE typed
-        # variant instead of two (halves this einsum and the kv2
-        # buffer; identical numerics since unused variants were dead).
+        # With a static receiver layout, fold only for the receiver
+        # types actually present — the ego-only final phase then builds
+        # ONE typed variant instead of two (halves the kv2 buffer;
+        # identical numerics since unused variants were dead).
         if sm_r is not None:
             taus_used = tuple(sorted({int(m) for m in sm_r}))
         else:
             taus_used = tuple(range(self.num_types))
         ntau = len(taus_used)
-        taus = jnp.asarray(taus_used, dtype=mode.dtype)
-        idx = taus[:, None, None] * self.num_types + mode[None]
         if sm_r is not None:
             # only the first r (receiver) rows are ever read; sender
             # rows whose type has no folded variant map to 0 harmlessly
@@ -183,20 +178,65 @@ class HeteroWindowAttention(nn.Module):
                 mode.shape)
         else:
             recv_variant = mode
-        # one stacked fold emitting the CONCATENATED [K|V] layout
-        # directly — a separate k2/v2 + concat materializes two extra
-        # (B, TY, J, H, W, C) relayout copies (~0.8 ms/phase measured)
-        rel = jnp.stack([rel_att, rel_msg], axis=1)  # (rel, 2, h, d, d)
-        w_t = rel.astype(cdt)[idx]  # (T, B, J, 2, heads, d, d)
 
-        kvh = jnp.stack([k, v], axis=-2).reshape(
-            b, l, h, w, 2, heads, d)
-        # kv2[b, tau, j, :, s, h, d] = sum_e W[s][tau*T+mode_j, h, d, e]
-        #                                    kv[b, j, :, s, h, e]
-        kv2 = jnp.einsum("bjxyshe,tbjshde->btjxyshd", kvh, w_t,
-                         preferred_element_type=jnp.float32).astype(cdt)
-        # (2, heads, d) flattens to [K-half | V-half] = 2C
-        kv2 = kv2.reshape(b, ntau, l, h, w, 2 * c)
+        if static_modes is not None:
+            # Serving: the K/V projections and the relation transforms
+            # are BOTH linear, so fold them at the parameter level —
+            # W[tau, ty] = W_kv[ty] @ blockdiag_heads(R[tau*T+ty]) — and
+            # emit the typed kv2 variants with ONE einsum, directly in
+            # the flat concatenated [K|V] layout the warp consumes.  No
+            # intermediate k/v tensors, no fold einsum, and none of the
+            # (B,TY,J,H,W,2,heads,d) relayout copies (~1 ms/phase
+            # xplane-measured).  ~2x the projection MACs of project-
+            # then-fold, but the MXU time is far below the copies saved.
+            ty_n = self.num_types
+            wk, bk = to_k(x, mode, return_params=True)
+            wv, bv = to_v(x, mode, return_params=True)
+            tsel = np.asarray(taus_used)
+            ra = rel_att.reshape(ty_n, ty_n, heads, d, d)[tsel]
+            rm_ = rel_msg.reshape(ty_n, ty_n, heads, d, d)[tsel]
+            # comb[t, y, c, h, D] = sum_e w[y, c, h, e] R[t, y, h, D, e]
+            ck = jnp.einsum("yche,tyhDe->tychD",
+                            wk.reshape(ty_n, c, heads, d), ra)
+            cv = jnp.einsum("yche,tyhDe->tychD",
+                            wv.reshape(ty_n, c, heads, d), rm_)
+            wkv = jnp.concatenate([ck.reshape(ntau, ty_n, c, c),
+                                   cv.reshape(ntau, ty_n, c, c)],
+                                  axis=-1)
+            cbk = jnp.einsum("yhe,tyhDe->tyhD",
+                             bk.reshape(ty_n, heads, d), ra)
+            cbv = jnp.einsum("yhe,tyhDe->tyhD",
+                             bv.reshape(ty_n, heads, d), rm_)
+            bkv = jnp.concatenate([cbk.reshape(ntau, ty_n, c),
+                                   cbv.reshape(ntau, ty_n, c)], axis=-1)
+            sm_idx = np.asarray(static_modes)
+            wsel = wkv[:, sm_idx].astype(cdt)   # (ntau, L, C, 2C)
+            bsel = bkv[:, sm_idx].astype(cdt)   # (ntau, L, 2C)
+            kv2 = jnp.einsum("bjxyc,tjcf->btjxyf", x, wsel,
+                             preferred_element_type=jnp.float32
+                             ).astype(cdt)
+            kv2 = kv2 + bsel[None, :, :, None, None]
+        else:
+            k = to_k(x, mode)
+            v = to_v(x, mode)
+            taus = jnp.asarray(taus_used, dtype=mode.dtype)
+            idx = taus[:, None, None] * self.num_types + mode[None]
+            # one stacked fold emitting the CONCATENATED [K|V] layout
+            # directly — a separate k2/v2 + concat materializes two
+            # extra (B, TY, J, H, W, C) relayout copies (~0.8 ms/phase)
+            rel = jnp.stack([rel_att, rel_msg],
+                            axis=1)  # (rel, 2, h, d, d)
+            w_t = rel.astype(cdt)[idx]  # (T, B, J, 2, heads, d, d)
+
+            kvh = jnp.stack([k, v], axis=-2).reshape(
+                b, l, h, w, 2, heads, d)
+            # kv2[b,tau,j,:,s,h,d] = sum_e W[s][tau*T+mode_j, h, d, e]
+            #                              kv[b, j, :, s, h, e]
+            kv2 = jnp.einsum("bjxyshe,tbjshde->btjxyshd", kvh, w_t,
+                             preferred_element_type=jnp.float32
+                             ).astype(cdt)
+            # (2, heads, d) flattens to [K-half | V-half] = 2C
+            kv2 = kv2.reshape(b, ntau, l, h, w, 2 * c)
 
         # Select each receiver's typed variant and warp sender j's K/V
         # into receiver i's frame as one concatenated 2C tensor.

@@ -218,12 +218,19 @@ class HeteroDense(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, mode, static_modes: tuple | None = None):
+    def __call__(self, x, mode, static_modes: tuple | None = None,
+                 return_params: bool = False):
         """static_modes: optional per-agent type layout known at TRACE
         time (serving buckets fix the fleet's modality mix).  With it,
         each agent's rows hit only its own type's kernel — half the
         projection FLOPs of the compute-both-and-select default, still
-        one large MXU matmul per agent (identical numerics, tested)."""
+        one large MXU matmul per agent (identical numerics, tested).
+
+        return_params: declare and return ``(kernel, bias)`` without
+        computing — lets a caller fold these weights with another linear
+        map (e.g. the H3GAT relation transforms) into one combined
+        projection while the parameter tree/naming stays identical.
+        ``x`` only supplies the input width."""
         din = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -235,6 +242,9 @@ class HeteroDense(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.num_types, self.features))
                 if self.use_bias else None)
+
+        if return_params:
+            return kernel, bias
 
         if static_modes is not None:
             assert len(static_modes) == x.shape[1], (

@@ -256,13 +256,17 @@ def stage_pairwarp(dtype=jnp.bfloat16, l=L):
     print(f"pallas_pair_warp L={l} {np.dtype(dtype).name}: {ms:.2f} ms")
 
 
-def stage_fusion(compute_dtype="float32", l=L):
-    """Full 2-iteration HeteroFusion stack at production shapes."""
+def stage_fusion(compute_dtype="float32", l=L, static: bool = False):
+    """Full 2-iteration HeteroFusion stack at production shapes.
+
+    static=True mirrors serving: static_modes passed (type-range
+    projections + param-folded KV relation transforms)."""
     from hmvit_tpu.models.hetero_fusion import HeteroFusion
 
     key = jax.random.key(6)
     x = jax.random.normal(key, (B, l, H, W, C), jnp.float32)
     mode = jnp.asarray((np.arange(l)[None] + 1) % 2)
+    modes_t = tuple(int(m) for m in np.asarray(mode[0]))
     pair = rand_pairwise(key, l=l)
     amask = jnp.ones((B, l))
     cfg = {"num_iters": 2,
@@ -277,10 +281,12 @@ def stage_fusion(compute_dtype="float32", l=L):
 
     @jax.jit
     def run(v, x, mode, pair, amask):
-        return mod.apply(v, x, mode, pair, amask)
+        return mod.apply(v, x, mode, pair, amask,
+                         static_modes=modes_t if static else None)
 
     ms = timeit(run, variables, x, mode, pair, amask, iters=10)
-    print(f"fusion 2-iter L={l} {compute_dtype}: {ms:.2f} ms")
+    tag = " static" if static else ""
+    print(f"fusion 2-iter L={l}{tag} {compute_dtype}: {ms:.2f} ms")
 
 
 STAGES = {
@@ -301,6 +307,7 @@ STAGES = {
     "fusion": lambda: (stage_fusion("bfloat16"),
                        stage_fusion("float32")),
     "fusion4": lambda: (stage_fusion("bfloat16", l=4),),
+    "fusion4s": lambda: (stage_fusion("bfloat16", l=4, static=True),),
     "pairwarp": lambda: (stage_pairwarp(jnp.bfloat16, l=4),
                          stage_pairwarp(jnp.bfloat16, l=5)),
 }
