@@ -47,9 +47,12 @@ def _tiling(h: int, ck: int):
 
     Measured on v5e at production shapes (16 pairs, 128^2, 512 ch,
     bf16): 32/56 whole-channel 5.4 ms; 64/104 with 128-ch chunks 9.1 ms;
-    a full-map per-pair variant 10.5 ms.  The cost is dominated by the
-    NUMBER of batched-matmul issues (one per source column / dest row),
-    which channel chunking multiplies — so the small tile with the full
+    a full-map per-pair variant 10.5 ms.  Round-3 retest at bigger
+    chunks (standalone, same shapes): 32/56/512 3.07 ms, 64/104/256
+    4.21 ms, 64/104/512 7.03 ms — the larger tile loses at EVERY chunk
+    width despite 2x the per-issue MXU occupancy.  The cost is dominated
+    by the NUMBER of batched-matmul issues (one per source column / dest
+    row) and the larger scratch DMAs — so the small tile with the full
     channel width (large matmul N) wins and is used everywhere."""
     return TILE, TS, ck
 
