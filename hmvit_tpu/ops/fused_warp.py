@@ -62,10 +62,12 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
     """Host/XLA-side geometry: per (b, i, j) post-swap affine coefficients
     and per-tile PHYSICAL source-tile origins.
 
-    Returns (coef (N, J, 8) f32, origins (N, J, XT, YT, 2) i32, rtype
+    Returns (coef (N, J, 8) f32, origins (N, J, XT, YT, 3) i32, rtype
     (N,) i32) with N = B*I. coef rows: [m00, m01, tx, v0, v1, ty_adj,
     swap, 0] — the warp_affine_mxu quantities after the conditioning
-    row swap.  origins are (oH, oW) in map axes regardless of swap."""
+    row swap.  origins are (oH, oW, valid) in map axes regardless of
+    swap; valid=0 marks tiles whose source support misses the map (the
+    kernel skips their fetch + matmuls and writes exact zeros)."""
     h, w = hw
     b, l = pairwise.shape[:2]
     t_ij = jnp.swapaxes(pairwise, 1, 2).reshape(b * l * l, 4, 4)
@@ -100,6 +102,7 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
     coef = jnp.stack(
         [m00, m01, tx, v0, v1, ty_adj,
          swap.astype(jnp.float32), ident.astype(jnp.float32)], axis=-1)
+    bad = jnp.logical_not(jnp.all(jnp.isfinite(coef), axis=-1))  # (N*J,)
     coef = jnp.where(jnp.isfinite(coef), coef, 0.0)  # invalid pads
     coef = coef.reshape(b * l, l, 8)
 
@@ -115,14 +118,34 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
                 + jnp.minimum(cx * x0, cx * (x0 + tile - 1))
                 + jnp.minimum(cy * y0, cy * (y0 + tile - 1)))
 
+    def lin_max(c_x, c_y, c_0):
+        cx = c_x[:, None, None]
+        cy = c_y[:, None, None]
+        return (c_0[:, None, None]
+                + jnp.maximum(cx * x0, cx * (x0 + tile - 1))
+                + jnp.maximum(cy * y0, cy * (y0 + tile - 1)))
+
     mf = coef.reshape(-1, 8)
     min_col = lin_min(mf[:, 0], mf[:, 1], mf[:, 2])
+    max_col = lin_max(mf[:, 0], mf[:, 1], mf[:, 2])
     # post-pick row coefficients: row = m10 x' + m11 y' + ty with
     # m10 = v0*m00, m11 = v0*m01 + v1, ty = ty_adj + v0*tx
     m10p = mf[:, 3] * mf[:, 0]
     m11p = mf[:, 3] * mf[:, 1] + mf[:, 4]
     typ_ = mf[:, 5] + mf[:, 3] * mf[:, 2]
     min_row = lin_min(m10p, m11p, typ_)
+    max_row = lin_max(m10p, m11p, typ_)
+
+    # ROI tile skip: a destination tile whose source support (the affine
+    # image of its corner extremes, +-1 bilinear tap) misses the source
+    # map entirely produces EXACT zeros through the hat weights — the
+    # kernel skips its DMA fetch and both matmuls and writes zeros.
+    # Rigid transforms are affine, so corner extremes bound the support
+    # exactly.  Non-finite coefficients (padded/invalid pairs) are
+    # marked invalid too (their output is masked downstream either way).
+    valid = (jnp.logical_not(bad)[:, None, None]
+             & (max_row >= -1.0) & (min_row <= h)
+             & (max_col >= -1.0) & (min_col <= w))
     min_col = jnp.where(jnp.isfinite(min_col), min_col, 0.0)
     min_row = jnp.where(jnp.isfinite(min_row), min_row, 0.0)
 
@@ -137,7 +160,8 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
     sw = swap.reshape(-1)[:, None, None]
     o_h = jnp.where(sw, ocol_in, orow_in)
     o_w = jnp.where(sw, orow_in, ocol_in)
-    origins = jnp.stack([o_h, o_w], axis=-1).reshape(b * l, l, xt, yt, 2)
+    origins = jnp.stack([o_h, o_w, valid.astype(jnp.int32)],
+                        axis=-1).reshape(b * l, l, xt, yt, 3)
 
     rtype = jnp.broadcast_to(mode.astype(jnp.int32)[:, :, None],
                              (b, l, 1)).reshape(b * l)
@@ -170,12 +194,17 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
         n_ = r // nj
         o_h = orig_ref[n_, j_, tx_, ty_, 0]
         o_w = orig_ref[n_, j_, tx_, ty_, 1]
-        pltpu.make_async_copy(
-            src_ref.at[n_ // big_l, rtype_ref[n_], j_,
-                       pl.ds(pl.multiple_of(o_h, 8), ts_e),
-                       pl.ds(pl.multiple_of(o_w, 8), ts_e),
-                       pl.ds(pl.multiple_of(ck_ * ckc, ckc), ckc)],
-            scratch.at[slot_idx], sem.at[slot_idx]).start()
+
+        # ROI tile skip: no fetch for tiles whose source support misses
+        # the map (the owning program skips the wait symmetrically)
+        @pl.when(orig_ref[n_, j_, tx_, ty_, 2] > 0)
+        def _():
+            pltpu.make_async_copy(
+                src_ref.at[n_ // big_l, rtype_ref[n_], j_,
+                           pl.ds(pl.multiple_of(o_h, 8), ts_e),
+                           pl.ds(pl.multiple_of(o_w, 8), ts_e),
+                           pl.ds(pl.multiple_of(ck_ * ckc, ckc), ckc)],
+                scratch.at[slot_idx], sem.at[slot_idx]).start()
 
     # cross-program double buffering: program 0 fetches its own tile;
     # every program prefetches the NEXT program's tile into the other
@@ -206,9 +235,14 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
     cells = jax.lax.broadcasted_iota(jnp.int32, (ts_e, 1), 0).astype(jnp.float32)
     cells_row = jax.lax.broadcasted_iota(jnp.int32, (1, ts_e), 1).astype(jnp.float32)
 
-    pltpu.make_async_copy(src_ref.at[0, 0, 0, pl.ds(0, ts_e),
-                                     pl.ds(0, ts_e), pl.ds(0, ckc)],
-                          scratch.at[slot], sem.at[slot]).wait()
+    valid = orig_ref[n, j, txi, tyi, 2] > 0
+
+    @pl.when(valid)
+    def _():
+        pltpu.make_async_copy(src_ref.at[0, 0, 0, pl.ds(0, ts_e),
+                                         pl.ds(0, ts_e), pl.ds(0, ckc)],
+                              scratch.at[slot], sem.at[slot]).wait()
+
     tile = scratch[slot]
 
     def two_pass(tile_cr, orow_in, ocol_in):
@@ -244,7 +278,13 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
 
     ident = coef_ref[n, j, 7] > 0.5
 
-    @pl.when(ident)
+    @pl.when(jnp.logical_not(valid))
+    def _():
+        # skipped tile: source support misses the map — exact zeros
+        # (identical to what the hat weights would produce)
+        out_ref[0, 0] = jnp.zeros(out_ref.shape[2:], out_ref.dtype)
+
+    @pl.when(valid & ident)
     def _():
         # identity pair (i == j and co-located agents): the destination
         # tile IS a source sub-tile — one VMEM copy, no matmuls.
@@ -255,13 +295,13 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
                                 pl.ds(pl.multiple_of(dy, 8), tile_e),
                                 pl.ds(pl.multiple_of(dx, 8), tile_e), :]
 
-    @pl.when(jnp.logical_not(ident) & jnp.logical_not(swap))
+    @pl.when(valid & jnp.logical_not(ident) & jnp.logical_not(swap))
     def _():
         # src_in = map orientation: rows are H, cols are W; the
         # column-leading operand is the transposed tile
         out_ref[0, 0] = two_pass(jnp.swapaxes(tile, 0, 1), o_h, o_w)
 
-    @pl.when(jnp.logical_not(ident) & swap)
+    @pl.when(valid & jnp.logical_not(ident) & swap)
     def _():
         # conditioning swap: src_in is the transposed map (rows = W,
         # cols = H) — column-leading src_in IS the tile as fetched
@@ -297,8 +337,8 @@ def pallas_pair_warp(src_typed, pairwise, mode,
         # receiver-major first axis: (B*L, ...) -> (B, L, ...) slice
         coef = coef.reshape(bsz, l, l, 8)[:, :n_recv].reshape(
             bsz * n_recv, l, 8)
-        origins = origins.reshape(bsz, l, l, xt, yt, 2)[:, :n_recv]
-        origins = origins.reshape(bsz * n_recv, l, xt, yt, 2)
+        origins = origins.reshape(bsz, l, l, xt, yt, 3)[:, :n_recv]
+        origins = origins.reshape(bsz * n_recv, l, xt, yt, 3)
         rtype = rtype.reshape(bsz, l)[:, :n_recv].reshape(-1)
     n = bsz * n_recv
 

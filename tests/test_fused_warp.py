@@ -99,3 +99,29 @@ def test_kernel_large_map():
     got = np.asarray(pallas_pair_warp(src, pair, mode, 0.4, 4.0,
                                       interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_kernel_roi_tile_skip():
+    """Tiles whose source support misses the sender's map are skipped
+    (no fetch, no matmuls) and must come out EXACTLY zero — identical
+    to what the hat weights produce.  Covers partial overlap (40 of 64
+    cells) and fully disjoint maps (translation >> map extent)."""
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.normal(size=(B, 2, 3, H, W, CK))
+                      .astype(np.float32))
+    m = np.tile(np.eye(4, dtype=np.float64), (1, 3, 1, 1))
+    m[0, 1, :2, 3] = [40.0, -40.0]     # partial overlap
+    m[0, 2, :2, 3] = [200.0, 200.0]    # fully disjoint
+    minv = np.linalg.inv(m)
+    pair = jnp.asarray(
+        np.einsum("bixy,bjyz->bjixz", minv, m).astype(np.float32))
+    mode = jnp.asarray([[0, 1, 0]])
+    want = np.asarray(pair_warp_xla(src, pair, mode, 1.0, 1.0))
+    got = np.asarray(pallas_pair_warp(src, pair, mode, 1.0, 1.0,
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+    # receiver 0 <- sender 2: disjoint, every tile skipped -> all zero
+    assert np.all(got[0, 0, 2] == 0.0)
+    # receiver 0 <- sender 1: the far corner quadrant is out of support
+    assert np.all(got[0, 0, 1][:16, :16] == 0.0)
+    assert np.abs(got[0, 0, 1]).max() > 0.0
