@@ -1,6 +1,10 @@
 from .mesh import (  # noqa: F401
+    make_hybrid_mesh,
     make_mesh,
     make_sharded_eval,
     replicate_state,
     shard_batch,
+    shard_state_tp,
+    tp_shard_tree,
+    tp_spec_for_path,
 )

@@ -44,16 +44,96 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
 
 
-def make_sharded_eval(model, mesh: Mesh):
-    """Data-parallel batched inference: variables replicated, batch
-    sharded on 'data', outputs sharded the same way.  The TPU-native
-    replacement for a per-rank eval loop — one jitted program, frames
-    split across chips, decode/AP stay on the host (reference eval loop:
+def make_hybrid_mesh(devices=None, mp: int = 1,
+                     axis_names=("data", "model")) -> Mesh:
+    """(dp, mp) hybrid mesh: batch over ``data``, tensor-parallel fusion
+    trunk over ``model``.  dp is inferred as n_devices // mp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % mp == 0, f"{n} devices not divisible by mp={mp}"
+    return Mesh(np.array(devices).reshape(n // mp, mp), axis_names)
+
+
+# Megatron-style tensor-parallel layout for the H3GAT fusion trunk
+# (scaling-book "pick a mesh, annotate shardings, let XLA insert the
+# collectives"): Q/K/V projections and FFN-up are COLUMN-parallel
+# (output channels over 'model' — each device computes its own heads),
+# to_out and FFN-down are ROW-parallel (input channels over 'model' —
+# XLA inserts ONE psum per attention/FFN block on the ICI).  Matched by
+# path suffix, so the same rule set shards params AND the optimizer's
+# mu/nu moments (their subtrees repeat the param paths).
+_TP_COL = ("to_q", "to_k", "to_v")
+_TP_ROW = ("to_out",)
+_TP_FFN = ("window_ffn", "grid_ffn", "mlp_head")
+
+
+def tp_spec_for_path(path: str, shape, mp: int):
+    """PartitionSpec for one leaf under the fusion-trunk TP layout.
+
+    ``path`` is ``jax.tree_util.keystr`` of the leaf (params or optimizer
+    moment); anything not matched — encoders, norms, decoder, biases of
+    row-parallel layers — stays replicated."""
+    if "norm" in path or len(shape) < 2:
+        return P()
+    last_ok = shape[-1] % mp == 0
+    mid_ok = len(shape) >= 2 and shape[-2] % mp == 0
+    col = any(f"'{k}'" in path for k in _TP_COL)
+    row = any(f"'{k}'" in path for k in _TP_ROW)
+    if any(k in path for k in _TP_FFN):
+        # HeteroDense_0 = up (column), HeteroDense_1 = down (row)
+        col = col or "HeteroDense_0" in path
+        row = row or "HeteroDense_1" in path
+    if col and last_ok:
+        # kernel (T, din, dout) / bias (T, dout): split the outputs
+        return P(*(None,) * (len(shape) - 1), "model")
+    if row and len(shape) >= 3 and mid_ok:
+        # kernel (T, din, dout): split the inputs; bias stays replicated
+        return P(*(None,) * (len(shape) - 2), "model", None)
+    return P()
+
+
+def tp_shard_tree(tree, mesh: Mesh):
+    """device_put every leaf of ``tree`` with its TP spec (replicated
+    when no rule matches).  Works on params, batch_stats, and optimizer
+    state alike — specs are derived from each leaf's own path."""
+    mp = mesh.shape["model"]
+
+    def put(path, x):
+        if not hasattr(x, "shape"):
+            return x
+        spec = tp_spec_for_path(jax.tree_util.keystr(path), x.shape, mp)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
+def shard_state_tp(state, mesh: Mesh):
+    """Hybrid DP x TP placement of a TrainState: fusion-trunk weights
+    (and their adam moments) split over 'model', everything else
+    replicated.  The train step itself is unchanged — GSPMD propagates
+    the layout through attention/FFN and inserts the psums."""
+    return type(state)(
+        step=state.step,
+        params=tp_shard_tree(state.params, mesh),
+        batch_stats=tp_shard_tree(state.batch_stats, mesh),
+        opt_state=tp_shard_tree(state.opt_state, mesh),
+    )
+
+
+def make_sharded_eval(model, mesh: Mesh, variables_sharding=None):
+    """Data-parallel batched inference: variables replicated (or, for a
+    hybrid DP x TP state, kept in their existing tensor-parallel layout
+    via ``variables_sharding``), batch sharded on 'data', outputs
+    sharded the same way.  The TPU-native replacement for a per-rank
+    eval loop — one jitted program, frames split across chips, decode/AP
+    stay on the host (reference eval loop:
     opencood/tools/inference_camera.py:145-185 runs frames serially on
     one GPU)."""
+    if variables_sharding is None:
+        variables_sharding = replicated(mesh)
     return jax.jit(
         lambda variables, batch: model.apply(variables, batch,
                                              train=False),
-        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        in_shardings=(variables_sharding, batch_sharding(mesh)),
         out_shardings=batch_sharding(mesh),
     )

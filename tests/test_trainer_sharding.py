@@ -177,3 +177,43 @@ def test_sharded_eval_matches_single_device_ap(setup):
     ap_single = frame_ap(psm_single, rm_single)
     ap_shard = frame_ap(psm_shard, rm_shard)
     assert ap_single == ap_shard, (ap_single, ap_shard)
+
+
+@pytest.mark.slow
+def test_hybrid_dp_tp_step_matches_single(setup):
+    """DP x TP hybrid mesh: fusion-trunk params (and adam moments) split
+    over 'model' (column-parallel Q/K/V + FFN-up, row-parallel to_out +
+    FFN-down), batch over 'data'.  The SAME train step must produce the
+    single-device loss — GSPMD inserts the collectives, not the model."""
+    from hmvit_tpu.parallel import make_hybrid_mesh, shard_state_tp
+
+    model, tx, batch, labels = setup
+    mesh = make_hybrid_mesh(jax.devices()[:8], mp=2)
+    train_step = make_train_step(model, tx)
+    rng = jax.random.key(42)
+
+    state1 = fresh_state(model, tx, batch)
+    _, metrics1 = train_step(state1, batch, labels, rng)
+
+    state2 = shard_state_tp(fresh_state(model, tx, batch), mesh)
+    split = [p for path, p in
+             jax.tree_util.tree_leaves_with_path(state2.params)
+             if "model" in str(p.sharding.spec)]
+    assert len(split) >= 8, "TP rules matched too few fusion params"
+
+    b = shard_batch(batch, mesh)
+    lab = shard_batch(labels, mesh)
+    losses = []
+    state = state2
+    for _ in range(3):
+        state, metrics = train_step(state, b, lab, rng)
+        losses.append(float(metrics["total_loss"]))
+    np.testing.assert_allclose(losses[0], float(metrics1["total_loss"]),
+                               rtol=3e-4)
+    assert losses[-1] < losses[0], losses
+    # updated params keep their TP layout (no drift back to full
+    # replication; GSPMD may legally shard MORE params than annotated)
+    still = [p for path, p in
+             jax.tree_util.tree_leaves_with_path(state.params)
+             if "model" in str(p.sharding.spec)]
+    assert len(still) >= len(split)
