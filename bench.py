@@ -221,4 +221,7 @@ if __name__ == "__main__":
     bs = 1
     if "--batch" in sys.argv:
         bs = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--stripe" in sys.argv:  # A/B: unsplit stripe attention kernel
+        PROD_CFG["hetero_fusion"]["hetero_fusion_block"][
+            "use_stripe"] = True
     main(bf16="--fp32" not in sys.argv, batch_size=bs)

@@ -121,6 +121,11 @@ class HeteroWindowAttention(nn.Module):
     # fused Pallas attention core on TPU (ops/window_attention.py);
     # the XLA einsum path is the fallback/oracle
     use_pallas: bool = True
+    # local-style stripe kernel: consumes q/kv_pair/mask in their
+    # natural (H, W) spatial layout — the (B,I,J,H,W,2C) window-split
+    # relayout (~0.8 ms/phase xplane-measured) never materializes.
+    # Requires use_pallas + style 'local' + H % window == 0.
+    use_stripe: bool = False
     # mixed-precision compute dtype for projections/warp/attention; the
     # residual stream, LN and params stay fp32 (MXU accumulates fp32)
     compute_dtype: str = "float32"
@@ -271,6 +276,43 @@ class HeteroWindowAttention(nn.Module):
                 self.discrete_ratio, self.downsample_rate)
         com_mask = pair_mask[:, :r]  # (B, I, H, W, J)
 
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(0.02),
+            ((2 * win - 1) ** 2, heads),
+        )
+        idx = jnp.asarray(relative_position_index(win))
+        bias = table[idx]  # (T, T, heads)
+        bias_h = bias.transpose(2, 0, 1).astype(cdt)
+
+        use_stripe = (
+            self.use_stripe and self.use_pallas and self.style == "local"
+            and jax.default_backend() == "tpu" and h % win == 0
+            and w % win == 0)
+        if use_stripe:
+            from ..ops.window_attention import (
+                fused_stripe_window_attention,
+            )
+
+            # mask (B, I, H, W, J) -> (B, I, J, H, W); q/kv/mask go in
+            # UNSPLIT — the kernel windows for free inside each stripe
+            mask_ij = jnp.moveaxis(com_mask, -1, 2)
+            if self.exclude_self:
+                eye = jnp.eye(l)[:r][None, :, :, None, None]
+                mask_ij = mask_ij * (1.0 - eye)
+            out = fused_stripe_window_attention(
+                (q * scale).astype(cdt).reshape(b * r, h, w, c),
+                kv_pair.reshape(b * r, l, h, w, 2 * c),
+                bias_h,
+                mask_ij.reshape(b * r, l, h, w).astype(cdt),
+                win, heads, d,
+            ).reshape(b, r, h, w, c)
+            out = HeteroDense(self.dim, self.num_types,
+                              name="to_out")(out, mode[:, :r], sm_r)
+            out = out.astype(jnp.float32)
+            return nn.Dropout(self.dropout,
+                              deterministic=deterministic)(out)
+
         # window partition; K/V stay concatenated as one 2C tensor all
         # the way into the kernel (one relayout instead of two, and no
         # channel-slice copies)
@@ -286,15 +328,6 @@ class HeteroWindowAttention(nn.Module):
         if self.exclude_self:
             eye = jnp.eye(l)[:r][None, :, :, None, None]
             mw = mw * (1.0 - eye)
-
-        table = self.param(
-            "rel_pos_bias",
-            nn.initializers.normal(0.02),
-            ((2 * win - 1) ** 2, heads),
-        )
-        idx = jnp.asarray(relative_position_index(win))
-        bias = table[idx]  # (T, T, heads)
-        bias_h = bias.transpose(2, 0, 1).astype(cdt)
 
         qw = (qw * scale).astype(cdt)
         if self.use_pallas and jax.default_backend() == "tpu":
@@ -363,6 +396,7 @@ class HeteroFusionBlock(nn.Module):
     discrete_ratio: float = 0.4
     downsample_rate: float = 4.0
     compute_dtype: str = "float32"
+    use_stripe: bool = False
 
     def _phase(self, style, name, x, mode, pairwise, agent_mask,
                deterministic, pair_mask, receivers=None,
@@ -380,6 +414,7 @@ class HeteroFusionBlock(nn.Module):
             discrete_ratio=self.discrete_ratio,
             downsample_rate=self.downsample_rate,
             compute_dtype=self.compute_dtype,
+            use_stripe=self.use_stripe,
             name=f"{name}_attn",
         )(x_n, mode, pairwise, agent_mask, deterministic, pair_mask,
           receivers, static_modes)
@@ -449,6 +484,7 @@ class HeteroFusion(nn.Module):
             discrete_ratio=st.get("voxel_size", [0.4])[0],
             downsample_rate=st.get("downsample_rate", 4),
             compute_dtype=blk.get("compute_dtype", "float32"),
+            use_stripe=blk.get("use_stripe", False),
         )
         pair_mask = pairwise_roi_mask(
             pairwise, agent_mask, x.shape[2:4],

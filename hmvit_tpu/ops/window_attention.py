@@ -336,13 +336,12 @@ def _stripe_kernel(q_ref, kv_ref, bias_ref, mask_ref, out_ref, *,
     arrangement is a free row-major reshape, never a transpose, and the
     XLA window-split/merge relayout copies disappear entirely.
 
-    STATUS: interpret-verified against the split oracle, but NOT wired
-    into the model — Mosaic currently rejects the in-kernel
-    (H, win, C) -> (windows, T, C) regroup with "infer-vector-layout:
-    unsupported shape cast" on real TPUs, so the production path keeps
-    the windowed :func:`plain_window_attention`.  Re-wire when Mosaic
-    grows the relayout (the module-side change is a ~20-line branch in
-    HeteroWindowAttention; see PERF.md "Remaining ideas")."""
+    Mosaic ordering note: every (H, win, C) -> (windows, T, C) regroup
+    happens AFTER the fp32 upcast (and the output regroup BEFORE the
+    bf16 downcast).  In bf16 the win=8 sublane dim is half a (16, 128)
+    register tile, so the collapse is a genuine repack Mosaic rejects
+    ("infer-vector-layout: unsupported shape cast"); in fp32 the sublane
+    tile is exactly 8, making the same collapse a layout no-op."""
     d = dim_head
     c = heads * d
     t = win * win
@@ -351,24 +350,23 @@ def _stripe_kernel(q_ref, kv_ref, bias_ref, mask_ref, out_ref, *,
     h = q_ref.shape[1]
     nw = h // win
 
-    q = q_ref[0].reshape(nw, t, c).astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32).reshape(nw, t, c)
     for hh in range(heads):
         qh = q[:, :, hh * d:(hh + 1) * d]  # (nw, T, d)
         bias_h = bias_ref[hh].astype(jnp.float32)  # (T, T)
         sims = []
         vs = []
         for jj in range(j):
-            kvj = kv_ref[0, jj].reshape(nw, t, 2 * c)
-            kh = kvj[:, :, hh * d:(hh + 1) * d].astype(jnp.float32)
+            kvj = kv_ref[0, jj].astype(jnp.float32).reshape(nw, t, 2 * c)
+            kh = kvj[:, :, hh * d:(hh + 1) * d]
             s = jax.lax.dot_general(
                 qh, kh, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (nw, T, T)
             si = pl.program_id(1)
-            m = mask_ref[0, jj, si].reshape(nw, t).astype(jnp.float32)
+            m = mask_ref[0, jj, si].astype(jnp.float32).reshape(nw, t)
             s = jnp.where(m[:, None, :] > 0, s + bias_h[None], neg)
             sims.append(s)
-            vs.append(kvj[:, :, c + hh * d:c + (hh + 1) * d].astype(
-                jnp.float32))
+            vs.append(kvj[:, :, c + hh * d:c + (hh + 1) * d])
         sim = jnp.concatenate(sims, axis=-1)  # (nw, T, J*T)
         v_cat = jnp.concatenate(vs, axis=1)   # (nw, J*T, d)
 

@@ -256,11 +256,13 @@ def stage_pairwarp(dtype=jnp.bfloat16, l=L):
     print(f"pallas_pair_warp L={l} {np.dtype(dtype).name}: {ms:.2f} ms")
 
 
-def stage_fusion(compute_dtype="float32", l=L, static: bool = False):
+def stage_fusion(compute_dtype="float32", l=L, static: bool = False,
+                 stripe: bool = False):
     """Full 2-iteration HeteroFusion stack at production shapes.
 
     static=True mirrors serving: static_modes passed (type-range
-    projections + param-folded KV relation transforms)."""
+    projections + param-folded KV relation transforms); stripe=True
+    routes the local phases through the unsplit stripe kernel."""
     from hmvit_tpu.models.hetero_fusion import HeteroFusion
 
     key = jax.random.key(6)
@@ -275,7 +277,8 @@ def stage_fusion(compute_dtype="float32", l=L, static: bool = False):
                                      "voxel_size": [0.4, 0.4, 4.0]},
                "architect_mode": "sequential", "input_dim": C,
                "mlp_dim": C, "window_size": WIN, "dim_head": D,
-               "drop_out": 0.0, "compute_dtype": compute_dtype}}
+               "drop_out": 0.0, "compute_dtype": compute_dtype,
+               "use_stripe": stripe}}
     mod = HeteroFusion(cfg)
     variables = mod.init(jax.random.key(0), x, mode, pair, amask)
 
@@ -285,7 +288,7 @@ def stage_fusion(compute_dtype="float32", l=L, static: bool = False):
                          static_modes=modes_t if static else None)
 
     ms = timeit(run, variables, x, mode, pair, amask, iters=10)
-    tag = " static" if static else ""
+    tag = (" static" if static else "") + (" stripe" if stripe else "")
     print(f"fusion 2-iter L={l}{tag} {compute_dtype}: {ms:.2f} ms")
 
 
@@ -308,6 +311,8 @@ STAGES = {
                        stage_fusion("float32")),
     "fusion4": lambda: (stage_fusion("bfloat16", l=4),),
     "fusion4s": lambda: (stage_fusion("bfloat16", l=4, static=True),),
+    "fusion4st": lambda: (stage_fusion("bfloat16", l=4, static=True,
+                                       stripe=True),),
     "pairwarp": lambda: (stage_pairwarp(jnp.bfloat16, l=4),
                          stage_pairwarp(jnp.bfloat16, l=5)),
 }
