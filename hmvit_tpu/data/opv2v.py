@@ -19,6 +19,8 @@ import os
 import re
 from collections import OrderedDict
 
+import threading
+
 import numpy as np
 import yaml
 
@@ -212,6 +214,9 @@ class HeteroCooperativeDataset:
                 self.index.append((si, ts))
 
         self._rng = np.random.default_rng(None if train else 0)
+        # __getitem__ may run on loader worker threads; numpy Generators
+        # are not thread-safe, so per-frame draws go through this lock
+        self._rng_lock = threading.Lock()
         self.reinitialize()
 
     def reinitialize(self):
@@ -239,9 +244,11 @@ class HeteroCooperativeDataset:
         if not self.loc_err:
             return pose
         pose = list(pose)
-        pose[0] += float(self._rng.normal(0, self.xyz_std))
-        pose[1] += float(self._rng.normal(0, self.xyz_std))
-        pose[4] += float(self._rng.normal(0, self.ryp_std))
+        with self._rng_lock:
+            noise = self._rng.normal(0, 1.0, 3)
+        pose[0] += float(noise[0]) * self.xyz_std
+        pose[1] += float(noise[1]) * self.xyz_std
+        pose[4] += float(noise[2]) * self.ryp_std
         return pose
 
     def __getitem__(self, idx: int) -> dict:
@@ -285,9 +292,11 @@ class HeteroCooperativeDataset:
                                       self.lidar_range, self.order)
             )
 
+            with self._rng_lock:
+                pcd_seed = int(self._rng.integers(1 << 31))
             raw, raw_mask = read_pcd_padded(
                 cavs[cav][eff_ts]["pcd"], self.max_points + 4096,
-                seed=int(self._rng.integers(1 << 31)), shuffle=self.train)
+                seed=pcd_seed, shuffle=self.train)
             pts = mask_ego_points(raw[raw_mask > 0])
             n = min(len(pts), self.max_points)
             frame["points"][slot, :n] = pts[:n]

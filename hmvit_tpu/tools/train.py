@@ -31,6 +31,10 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=0)
     p.add_argument("--max_points", type=int, default=60000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="parallel per-frame decode threads (the "
+                        "DataLoader-worker analogue; PNG/pcd decode is "
+                        "numpy/PIL-bound and releases the GIL)")
     p.add_argument("--half", action="store_true",
                    help="bf16 compute (fp32 master params)")
     p.add_argument("--camera_backbone_dir", default="")
@@ -211,7 +215,11 @@ def main(argv=None):
         return labels_for_batch(pp, anchors, batch)
 
     def make_batch(idxs):
-        frames = [dataset[int(i)] for i in idxs]
+        if frame_pool is not None:
+            frames = list(frame_pool.map(
+                lambda i: dataset[int(i)], idxs))
+        else:
+            frames = [dataset[int(i)] for i in idxs]
         while len(frames) < batch_size:
             frames.append(frames[-1])
         batch = dataset.collate_batch(frames)
@@ -222,7 +230,13 @@ def main(argv=None):
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # two-level input pipeline (reference analogue: torch DataLoader
+    # with num_workers + pin_memory): one batch-ahead prefetch thread
+    # overlapping host IO with the device step, and a frame pool
+    # decoding the batch's frames in parallel inside it
     prefetcher = ThreadPoolExecutor(max_workers=1)
+    frame_pool = (ThreadPoolExecutor(max_workers=args.num_workers)
+                  if getattr(args, "num_workers", 0) > 1 else None)
 
     order = np.arange(len(dataset))
     host_rng = np.random.default_rng(args.seed)
