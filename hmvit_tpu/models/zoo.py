@@ -277,6 +277,14 @@ def build_model(model_cfg: dict) -> nn.Module:
         return PointPillarDetector(args.get("lidar", args))
     if name in ("cross_view_transformer", "cvt_nofusion", "fax"):
         return CameraDetector(args)
+    if name == "bevformer_wrapper":
+        # reference core_method of the single-vehicle BEVFormer late-
+        # fusion model (reference: opencood/models/bevformer_wrapper.py;
+        # hypes opcl/bevformer_late_fusion.yaml) — a verbatim config
+        # port resolves here to the bevformer-encoder camera detector
+        camera = dict(args.get("camera", {}))
+        camera.setdefault("encoder", "bevformer")
+        return CameraDetector(dict(args, camera=camera))
     if name in ("cvt_seg", "corpbevt_seg", "bev_seg",
                 "fax_fused_transformer"):
         # fax_fused_transformer is the reference core_method for the

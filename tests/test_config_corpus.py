@@ -173,3 +173,18 @@ def test_every_core_method_forwards(core_method, path):
         assert out["cls"].shape[1] == 1 and out["reg"].shape[1] == 6
     else:
         assert any(k.endswith("_seg") for k in out)
+
+
+def test_reference_core_method_aliases_build():
+    """Verbatim reference core_methods that the shipped twins rename
+    must still resolve (a reference yaml ported unchanged should build):
+    bevformer_wrapper -> bevformer-encoder CameraDetector (reference:
+    opencood/hypes_yaml/opcl/bevformer_late_fusion.yaml:77)."""
+    from hmvit_tpu.config.loader import load_config
+    from hmvit_tpu.models.zoo import build_model
+
+    cfg = load_config(
+        os.path.join(HYPES, "opcl", "bevformer_late_fusion.yaml"))
+    mc = dict(cfg["model"], core_method="bevformer_wrapper")
+    model = build_model(mc)
+    assert type(model).__name__ == "CameraDetector"
