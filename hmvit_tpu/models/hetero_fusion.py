@@ -396,6 +396,7 @@ class HeteroFusionBlock(nn.Module):
     discrete_ratio: float = 0.4
     downsample_rate: float = 4.0
     compute_dtype: str = "float32"
+    use_pallas: bool = True
     use_stripe: bool = False
 
     def _phase(self, style, name, x, mode, pairwise, agent_mask,
@@ -414,6 +415,7 @@ class HeteroFusionBlock(nn.Module):
             discrete_ratio=self.discrete_ratio,
             downsample_rate=self.downsample_rate,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
             use_stripe=self.use_stripe,
             name=f"{name}_attn",
         )(x_n, mode, pairwise, agent_mask, deterministic, pair_mask,
@@ -484,6 +486,7 @@ class HeteroFusion(nn.Module):
             discrete_ratio=st.get("voxel_size", [0.4])[0],
             downsample_rate=st.get("downsample_rate", 4),
             compute_dtype=blk.get("compute_dtype", "float32"),
+            use_pallas=blk.get("use_pallas", True),
             use_stripe=blk.get("use_stripe", False),
         )
         pair_mask = pairwise_roi_mask(

@@ -107,7 +107,8 @@ class HMViT(nn.Module):
                  camera_bucket: int | None = None,
                  active_agents: int | None = None,
                  static_ego_modality: int | None = None,
-                 static_modes: tuple | None = None):
+                 static_modes: tuple | None = None,
+                 shard_hint=None):
         """camera_bucket / active_agents are SERVING shape buckets:
 
         - ``active_agents`` statically slices the agent axis to the
@@ -196,6 +197,15 @@ class HMViT(nn.Module):
 
         h, w, c = x.shape[1:]
         x = x.reshape(b, l, h, w, c)
+        if shard_hint is not None:
+            # spatial partitioning: the caller pins the per-agent BEV
+            # maps' H axis to a mesh axis (parallel/mesh.py
+            # make_spatial_eval) and GSPMD propagates the layout through
+            # fusion + decoder — single-frame latency and BEV grids
+            # beyond one chip's HBM scale across chips.  (The Pallas
+            # warp/attention kernels are not GSPMD-partitionable; the
+            # caller disables use_pallas under SP.)
+            x = shard_hint(x)
         x = x * agent_mask[:, :, None, None, None]
 
         if cfg.get("fusion_override"):

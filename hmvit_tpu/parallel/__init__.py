@@ -2,6 +2,7 @@ from .mesh import (  # noqa: F401
     make_hybrid_mesh,
     make_mesh,
     make_sharded_eval,
+    make_spatial_eval,
     replicate_state,
     shard_batch,
     shard_state_tp,

@@ -120,6 +120,38 @@ def shard_state_tp(state, mesh: Mesh):
     )
 
 
+def make_spatial_eval(model, mesh: Mesh, axis: str = "model"):
+    """Spatially-partitioned batched inference (SP): per-agent BEV maps
+    sharded on their H axis over ``axis``, batch over 'data'.
+
+    A sharding CONSTRAINT is injected where the encoder outputs meet the
+    fusion trunk (models/hmvit.py ``shard_hint``) and GSPMD propagates
+    the layout through window attention / warp / decoder, inserting the
+    halo collectives on ICI — single-frame latency and BEV grids beyond
+    one chip's HBM scale with the mesh.  Inputs/outputs stay batch-
+    sharded; only internals are spatially split.  (The Pallas fusion
+    kernels are not GSPMD-partitionable — configure the fusion block
+    with ``use_pallas: False`` for SP runs; the XLA path is numerically
+    the oracle anyway.)"""
+    hint_sh = NamedSharding(mesh, P(None, None, axis))
+
+    def hint(x):
+        # (B, L, H, W, C): pin H; B follows the batch 'data' sharding
+        sh = NamedSharding(
+            mesh, P("data", None, axis, *(None,) * (x.ndim - 3)))
+        try:
+            return jax.lax.with_sharding_constraint(x, sh)
+        except ValueError:
+            return jax.lax.with_sharding_constraint(x, hint_sh)
+
+    return jax.jit(
+        lambda variables, batch: model.apply(
+            variables, batch, train=False, shard_hint=hint),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
 def make_sharded_eval(model, mesh: Mesh, variables_sharding=None):
     """Data-parallel batched inference: variables replicated (or, for a
     hybrid DP x TP state, kept in their existing tensor-parallel layout

@@ -217,3 +217,28 @@ def test_hybrid_dp_tp_step_matches_single(setup):
              jax.tree_util.tree_leaves_with_path(state.params)
              if "model" in str(p.sharding.spec)]
     assert len(still) >= len(split)
+
+
+@pytest.mark.slow
+def test_spatial_eval_matches_unsharded(setup):
+    """SP: per-agent BEV maps sharded on H over 'model' (GSPMD halo
+    collectives through fusion + decoder) must reproduce the unsharded
+    forward exactly — the scaling axis for single-frame latency and
+    grids beyond one chip's HBM."""
+    from hmvit_tpu.parallel import make_hybrid_mesh, make_spatial_eval
+
+    model, tx, batch, labels = setup
+    mesh = make_hybrid_mesh(jax.devices()[:8], mp=2)
+    state = fresh_state(model, tx, batch)
+    variables = {"params": state.params,
+                 "batch_stats": state.batch_stats}
+
+    want = model.apply(variables, batch, train=False)
+
+    sp_eval = make_spatial_eval(model, mesh)
+    got = sp_eval(variables, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(np.asarray(got["psm"]),
+                               np.asarray(want["psm"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["rm"]),
+                               np.asarray(want["rm"]), atol=1e-4)
