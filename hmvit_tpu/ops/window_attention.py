@@ -362,8 +362,7 @@ def _stripe_kernel(q_ref, kv_ref, bias_ref, mask_ref, out_ref, *,
             s = jax.lax.dot_general(
                 qh, kh, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (nw, T, T)
-            si = pl.program_id(1)
-            m = mask_ref[0, jj, si].astype(jnp.float32).reshape(nw, t)
+            m = mask_ref[0, jj, 0].astype(jnp.float32)  # (nw, T)
             s = jnp.where(m[:, None, :] > 0, s + bias_h[None], neg)
             sims.append(s)
             vs.append(kvj[:, :, c + hh * d:c + (hh + 1) * d])
@@ -400,11 +399,14 @@ def stripe_window_attention(q, kv, bias, mask, win: int, heads: int,
     j = kv.shape[1]
     assert h % win == 0 and w % win == 0
     stripes = w // win
-    # (N, J, H, W) -> (N, J, stripes, H*win): stripe si's tokens in
-    # (window x, w1, w2) order — a cheap repack of a small tensor
+    nw, t = h // win, win * win
+    # (N, J, H, W) -> (N, J, stripes, nw, T): stripe si's windows in
+    # token order — a cheap repack of a small tensor, shaped so the
+    # kernel reads each stripe's (nw, T) mask directly (no in-kernel
+    # reshape, no dynamic sublane slice)
     mask_s = jnp.moveaxis(
-        mask.reshape(n, j, h, stripes, win), 3, 2
-    ).reshape(n, j, stripes, h * win)
+        mask.reshape(n, j, nw, win, stripes, win), 4, 2
+    ).reshape(n, j, stripes, nw, t)
     grid = (n, stripes)
     kernel = partial(_stripe_kernel, heads=heads, dim_head=dim_head,
                      n_senders=j, win=win)
@@ -420,8 +422,8 @@ def stripe_window_attention(q, kv, bias, mask, win: int, heads: int,
             pl.BlockSpec((heads, win * win, win * win),
                          lambda i, si: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, stripes, h * win),
-                         lambda i, si: (i, 0, 0, 0),
+            pl.BlockSpec((1, j, 1, nw, t),
+                         lambda i, si: (i, 0, si, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, win, c),
