@@ -31,6 +31,14 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=0)
     p.add_argument("--max_points", type=int, default=60000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="override train_params.batch_size (must be a "
+                        "multiple of the data-parallel degree)")
+    p.add_argument("--mp", type=int, default=1,
+                   help="tensor-parallel degree: devices form a "
+                        "(data, model) mesh and the H3GAT fusion trunk "
+                        "is Megatron-sharded over 'model' "
+                        "(parallel/mesh.py shard_state_tp)")
     p.add_argument("--num_workers", type=int, default=4,
                    help="parallel per-frame decode threads (the "
                         "DataLoader-worker analogue; PNG/pcd decode is "
@@ -53,7 +61,9 @@ def main(argv=None):
     from ..config import load_config, save_config
     from ..data.opv2v import HeteroCooperativeDataset
     from ..models.zoo import build_model
-    from ..parallel import make_mesh, replicate_state, shard_batch
+    from ..parallel import (make_hybrid_mesh, make_mesh,
+                            replicate_state, shard_batch,
+                            shard_state_tp)
     from ..postprocess import build_postprocessor
     from ..train.checkpointing import (
         find_last_step,
@@ -100,7 +110,8 @@ def main(argv=None):
     anchors = pp.generate_anchor_box()
 
     model = build_model(params["model"])
-    batch_size = params["train_params"]["batch_size"]
+    batch_size = (args.batch_size
+                  or params["train_params"]["batch_size"])
     steps_per_epoch = args.steps_per_epoch or max(
         len(dataset) // batch_size, 1)
 
@@ -169,8 +180,20 @@ def main(argv=None):
         }
     else:
         loss_fn, loss_kwargs = build_loss(params.get("loss", {}))
-    mesh = make_mesh()
-    state = replicate_state(state, mesh)
+    mp = max(1, int(getattr(args, "mp", 1)))
+    if mp > 1:
+        mesh = make_hybrid_mesh(mp=mp)
+        state = shard_state_tp(state, mesh)
+    else:
+        mesh = make_mesh()
+        state = replicate_state(state, mesh)
+    dp = mesh.shape["data"]
+    if batch_size % dp:
+        raise SystemExit(
+            f"batch_size {batch_size} must be a multiple of the "
+            f"data-parallel degree {dp} (devices {jax.device_count()}"
+            f" / mp {mp}); pass --batch_size or adjust "
+            "train_params.batch_size")
     train_step = make_train_step(model, tx, loss_fn=loss_fn,
                                  loss_kwargs=loss_kwargs, half=args.half)
     eval_step = make_eval_step(model, loss_fn=loss_fn,
