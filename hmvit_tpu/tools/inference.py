@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--save_npy", action="store_true")
     p.add_argument("--save_vis", action="store_true")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the frame sweep over every visible "
+                        "device (one jitted batched program, frames "
+                        "split on the mesh's data axis; intermediate "
+                        "fusion only — decode/AP stay on the host)")
     p.add_argument("--serving_buckets", action="store_true",
                    help="bucketed serving dispatch: one compiled "
                         "program per (camera count, fleet size, ego "
@@ -200,6 +205,53 @@ def main(argv=None):
             [corners, np.zeros_like(corners[..., :1])], axis=-1)
         hi = lo + np.array([0.0, 0.0, 1.5])
         return np.concatenate([lo, hi], axis=1)
+
+    if args.data_parallel:
+        # multi-device eval: the TPU-native replacement for the
+        # reference's serial per-frame loop (reference:
+        # opencood/tools/inference_camera.py:145-185) — frames ride the
+        # mesh's data axis, one program, identical AP (pinned by
+        # tests/test_trainer_sharding.py::
+        # test_sharded_eval_matches_single_device_ap)
+        if args.fusion_method != "intermediate":
+            raise SystemExit("--data_parallel supports intermediate "
+                             "fusion only")
+        import jax
+
+        from ..parallel import make_mesh, make_sharded_eval, shard_batch
+
+        mesh = make_mesh()
+        nd = jax.device_count()
+        eval_fwd = make_sharded_eval(model, mesh)
+        for start in range(0, n_frames, nd):
+            idxs = list(range(start, min(start + nd, n_frames)))
+            frames = [dataset[i] for i in idxs]
+            while len(frames) < nd:
+                frames.append(frames[-1])  # pad; padded outputs dropped
+            jb = to_jnp(dataset.collate_batch(frames))
+            out = eval_fwd(variables, shard_batch(jb, mesh))
+            host = to_host_output(out)
+            for k, i in enumerate(idxs):
+                per = {kk: vv[k:k + 1] for kk, vv in host.items()}
+                corners, scores = pp.post_process(
+                    {"ego": {"transformation_matrix": np.eye(4),
+                             "anchor_box": anchors,
+                             "no_post_projection": True}},
+                    {"ego": per},
+                )
+                corners = lift_corners(corners)
+                fr = frames[k]
+                gt_mask = fr["object_bbx_mask"] > 0
+                gt_corners = box_utils.boxes_to_corners_3d(
+                    fr["object_bbx_center"][gt_mask], pp.order)
+                E.accumulate_frame(corners, scores, gt_corners, stat)
+                if args.save_npy:
+                    np.save(os.path.join(npy_dir, f"{i:04d}_pred.npy"),
+                            corners if corners is not None
+                            else np.zeros((0, 8, 3)))
+                    np.save(os.path.join(npy_dir, f"{i:04d}_gt.npy"),
+                            gt_corners)
+        n_frames = 0  # skip the serial loop below
 
     for i in range(n_frames):
         frame = dataset[i]
