@@ -302,6 +302,7 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
             from .expand import (
                 BLOCK,
                 expand_rows_to_dense,
+                expand_rows_to_dense_v2,
                 expand_rows_to_dense_xla,
             )
 
@@ -318,7 +319,10 @@ def scatter_max_to_bev(point_features, pillar_id, keep, grid_size,
                 jnp.int32(num_pillars))
             if (jax.default_backend() == "tpu"
                     and num_pillars % BLOCK == 0):
-                dense = expand_rows_to_dense(comp, comp_ids, num_pillars)
+                fn = (expand_rows_to_dense_v2
+                      if use_expand_kernel == "v2"
+                      else expand_rows_to_dense)
+                dense = fn(comp, comp_ids, num_pillars)
             else:
                 dense = expand_rows_to_dense_xla(comp, comp_ids,
                                                  num_pillars)

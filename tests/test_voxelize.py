@@ -189,3 +189,34 @@ def test_expand_kernel_matches_xla_twin():
     assert np.all(got[ids] == comp)
     empty = np.setdiff1d(np.arange(num_cells), ids)
     assert np.all(got[empty] == 0)
+
+
+def test_expand_v2_kernel_matches_xla_twin():
+    """Demand-sized-DMA expansion (v2) vs the searchsorted+gather
+    reference, interpret mode: empty blocks, a fully-dense block, a
+    block-boundary-straddling run, and bf16."""
+    from hmvit_tpu.ops.expand import (
+        BLOCK,
+        expand_rows_to_dense_v2,
+        expand_rows_to_dense_xla,
+    )
+
+    rng = np.random.default_rng(13)
+    num_cells = 4 * BLOCK
+    ids = np.unique(np.concatenate([
+        rng.integers(0, BLOCK, 60),
+        np.arange(BLOCK, 2 * BLOCK),               # fully dense block
+        np.arange(3 * BLOCK - 70, 3 * BLOCK + 70),  # boundary straddle
+    ])).astype(np.int32)
+    m = len(ids)
+    for dtype in (np.float32, jnp.bfloat16):
+        comp = jnp.asarray(
+            rng.normal(size=(m, 64)).astype(np.float32)).astype(dtype)
+        want = np.asarray(expand_rows_to_dense_xla(
+            comp, jnp.asarray(ids), num_cells).astype(jnp.float32))
+        got = np.asarray(expand_rows_to_dense_v2(
+            comp, jnp.asarray(ids), num_cells,
+            interpret=True).astype(jnp.float32))
+        np.testing.assert_allclose(got, want, atol=0)
+    empty = np.setdiff1d(np.arange(num_cells), ids)
+    assert np.all(got[empty] == 0)
