@@ -52,6 +52,10 @@ class PillarFeatureNet(nn.Module):
     # ~0.4 m at 100 m range), and the assembled per-point FEATURES are
     # cast here so the PFN/scatter/backbone run at this dtype
     compute_dtype: str | None = None
+    # dense-grid build: False = scan + row gather (default), "v2" = the
+    # demand-sized-DMA expansion kernel (ops/expand.py) — config key
+    # lidar.scatter_variant
+    scatter_variant: bool | str = False
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -104,7 +108,8 @@ class PillarFeatureNet(nn.Module):
             feats, info["pillar_id"], keep, grid, n_clouds,
             sorted_ids=self.enforce_cap,
             max_run=self.max_points_per_pillar if self.enforce_cap
-            else None)
+            else None,
+            use_expand_kernel=self.scatter_variant)
 
 
 class BEVBackbone(nn.Module):
@@ -210,6 +215,7 @@ class PointPillarEncoder(nn.Module):
             with_distance=cfg["pillar_vfe"].get("with_distance", False),
             enforce_cap=cfg["pillar_vfe"].get("enforce_point_cap", True),
             compute_dtype=cfg.get("compute_dtype"),
+            scatter_variant=cfg.get("scatter_variant", False),
         )(points, points_mask, train)
 
         bb = cfg["base_bev_backbone"]
