@@ -224,4 +224,7 @@ if __name__ == "__main__":
     if "--stripe" in sys.argv:  # A/B: unsplit stripe attention kernel
         PROD_CFG["hetero_fusion"]["hetero_fusion_block"][
             "use_stripe"] = True
+    if "--expand" in sys.argv:  # A/B: pillar dense-tail build variant
+        PROD_CFG["lidar"]["scatter_variant"] = \
+            sys.argv[sys.argv.index("--expand") + 1]
     main(bf16="--fp32" not in sys.argv, batch_size=bs)
