@@ -38,37 +38,64 @@ def lidar2img(intrinsics, cam_to_lidar):
 
 
 class DeformableSelfAttention(nn.Module):
-    """BEV-plane deformable self-attention (history-free temporal attn)."""
+    """BEV-plane temporal/deformable self-attention with the reference's
+    two-slot BEV queue (reference: mmdet3d_plugin/bevformer/modules/
+    temporal_self_attention.py:130-274): values are the stacked
+    [prev_bev-or-current, current] maps, sampling offsets and per-point
+    weights are conditioned on concat([prev, query]) with independent
+    parameters per queue slot (softmax over points within each slot),
+    and the two queue outputs are averaged.  With ``prev_2d=None`` the
+    current map fills both slots — exactly the reference's history-free
+    branch (``value = stack([query, query])``), which is what the HM-ViT
+    wrapper always exercises (only_bev, prev_bev=None)."""
     dim: int
     heads: int = 4
     points: int = 4
+    queue: int = 2
 
     @nn.compact
-    def __call__(self, query, bev_2d, ref_xy):
+    def __call__(self, query, bev_2d, ref_xy, prev_2d=None):
         # query: (N, Q, C); bev_2d: (N, Hb, Wb, C); ref_xy: (Q, 2) pixels
         n, q, c = query.shape
         hb, wb = bev_2d.shape[1:3]
         hp = self.heads * self.points
 
-        offsets = nn.Dense(hp * 2, name="offsets")(query)
-        offsets = offsets.reshape(n, q, hp, 2)
-        weights = nn.Dense(hp, name="weights")(query)
-        weights = jax.nn.softmax(
-            weights.reshape(n, q, self.heads, self.points), axis=-1)
+        if prev_2d is None:
+            prev_2d = bev_2d
+        # conditioning = concat([prev tokens, current query], -1)
+        cond = jnp.concatenate(
+            [prev_2d.reshape(n, q, -1).astype(query.dtype), query], -1)
 
-        value = nn.Dense(self.dim, name="value")(bev_2d)
-        coords = ref_xy[None, :, None, :] + offsets  # (N, Q, HP, 2)
-        sampled = bilinear_sample(value, coords.reshape(n, q * hp, 2))
+        offsets = nn.Dense(self.queue * hp * 2, name="offsets")(cond)
+        offsets = offsets.reshape(n, q, self.queue, hp, 2)
+        weights = nn.Dense(self.queue * hp, name="weights")(cond)
+        # softmax over points within each (head, queue-slot)
+        weights = jax.nn.softmax(
+            weights.reshape(n, q, self.queue, self.heads, self.points),
+            axis=-1)
+
+        # (queue, N, Hb, Wb, C): slot 0 = history, slot 1 = current
+        value = nn.Dense(self.dim, name="value")(
+            jnp.stack([prev_2d, bev_2d], 0))
+        coords = ref_xy[None, None, :, None, :] + jnp.moveaxis(
+            offsets, 2, 0)  # (queue, N, Q, HP, 2)
+        sampled = bilinear_sample(
+            value.reshape(self.queue * n, hb, wb, self.dim),
+            coords.reshape(self.queue * n, q * hp, 2))
         head_dim = self.dim // self.heads
-        # (N, Q, sample-head, P, channel-head, D): keep the matching
-        # head's channel slice for each head's sample locations
-        sampled = sampled.reshape(n, q, self.heads, self.points,
-                                  self.heads, head_dim)
+        # (queue*N, Q, sample-head, P, channel-head, D): keep the
+        # matching head's channel slice for each head's sample locations
+        sampled = sampled.reshape(self.queue * n, q, self.heads,
+                                  self.points, self.heads, head_dim)
         idx = jnp.arange(self.heads)
-        sampled = sampled[:, :, idx, :, idx, :]  # (H, N, Q, P, D)
-        sampled = jnp.moveaxis(sampled, 0, 2)  # (N, Q, H, P, D)
-        out = jnp.einsum("nqhp,nqhpd->nqhd", weights, sampled,
+        sampled = sampled[:, :, idx, :, idx, :]  # (H, queue*N, Q, P, D)
+        sampled = jnp.moveaxis(sampled, 0, 2)  # (queue*N, Q, H, P, D)
+        sampled = sampled.reshape(self.queue, n, q, self.heads,
+                                  self.points, head_dim)
+        w = jnp.moveaxis(weights, 2, 0)  # (queue, N, Q, H, P)
+        out = jnp.einsum("snqhp,snqhpd->nqhd", w, sampled,
                          preferred_element_type=jnp.float32)
+        out = out / self.queue  # mean over the BEV queue
         out = out.reshape(n, q, self.heads * head_dim)
         return nn.Dense(self.dim, name="out")(out)
 
@@ -156,11 +183,11 @@ class BEVFormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, bev_q, cam_feats, proj, grid_xy_pix, grid_xy_metric,
-                 z_values, img_hw, bev_hw):
+                 z_values, img_hw, bev_hw, prev_2d=None):
         n, q, c = bev_q.shape
         bev_2d = bev_q.reshape(n, bev_hw, bev_hw, c)
         x = bev_q + DeformableSelfAttention(self.dim, self.heads)(
-            nn.LayerNorm()(bev_q), bev_2d, grid_xy_pix)
+            nn.LayerNorm()(bev_q), bev_2d, grid_xy_pix, prev_2d=prev_2d)
         x = x + SpatialCrossAttention(self.dim, self.heads)(
             nn.LayerNorm()(x), cam_feats, proj, grid_xy_metric, z_values,
             img_hw)
@@ -295,11 +322,13 @@ class BEVFormerEncoder(nn.Module):
     config: dict
 
     @nn.compact
-    def __call__(self, images, intrinsics, extrinsics, train: bool = False):
+    def __call__(self, images, intrinsics, extrinsics, train: bool = False,
+                 prev_bev=None):
         cfg = self.config
         if cfg.get("lift", "planar") == "planar":
             return self._planar(images, intrinsics, extrinsics, train)
-        return self._deformable(images, intrinsics, extrinsics, train)
+        return self._deformable(images, intrinsics, extrinsics, train,
+                                prev_bev=prev_bev)
 
     def _planar(self, images, intrinsics, extrinsics, train):
         cfg = self.config
@@ -368,7 +397,7 @@ class BEVFormerEncoder(nn.Module):
         return bev
 
     def _deformable(self, images, intrinsics, extrinsics,
-                    train: bool = False):
+                    train: bool = False, prev_bev=None):
         cfg = self.config
         dim = cfg.get("dim", 128)
         bev_hw = cfg.get("bev_size", 32)
@@ -402,13 +431,22 @@ class BEVFormerEncoder(nn.Module):
         z_values = jnp.linspace(-2.0, 1.0,
                                 cfg.get("num_points_in_pillar", 4))
 
+        # the reference feeds the SAME previous-frame BEV into every
+        # encoder layer's temporal attention (encoder.py:357-372);
+        # prev_bev here is the previous frame's pre-projection BEV at
+        # the internal dim, as returned under cfg["return_history"]
+        if prev_bev is not None and prev_bev.ndim == 3:
+            prev_bev = prev_bev.reshape(n, bev_hw, bev_hw, dim)
         for _ in range(layers):
             bev_q = BEVFormerLayer(dim, heads)(
                 bev_q, cam_feats, proj, grid_xy_pix, grid_xy_metric,
-                z_values, (img_h, img_w), bev_hw)
+                z_values, (img_h, img_w), bev_hw, prev_2d=prev_bev)
 
-        bev = bev_q.reshape(n, bev_hw, bev_hw, dim)
-        bev = nn.Dense(out_dim)(bev)
+        history = bev_q.reshape(n, bev_hw, bev_hw, dim)
+        bev = nn.Dense(out_dim)(history)
         up = cfg.get("decoder_layers", 2)
-        return NaiveDecoder(num_layer=up, num_ch_dec=[out_dim] * up,
-                            use_upsample=True)(bev, train)
+        bev = NaiveDecoder(num_layer=up, num_ch_dec=[out_dim] * up,
+                           use_upsample=True)(bev, train)
+        if cfg.get("return_history"):
+            return bev, history
+        return bev
