@@ -212,6 +212,94 @@ def main(iters: int = 20, max_cav: int = 5, num_agents: int = 4,
     print(json.dumps(record))
 
 
+def train_main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
+               image_size: int = 512, max_points: int = 30000,
+               remat: bool = True):
+    """Training throughput: optimizer steps/sec/chip at production scale.
+
+    Full run-both trace (training can't use serving buckets — the fleet
+    mix changes every batch), bf16 compute against fp32 master params
+    (the reference's AMP ``--half`` analogue), AdamW as in the canonical
+    config, gradient checkpointing over the camera/lidar/fusion stages
+    (numerically transparent, tests/test_remat.py) so the step fits one
+    chip's HBM."""
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from hmvit_tpu.data.anchors import generate_anchor_grid
+    from hmvit_tpu.data.synthetic import make_hetero_batch
+    from hmvit_tpu.models.hmvit import HMViT
+    from hmvit_tpu.postprocess import AnchorPostprocessor
+    from hmvit_tpu.train.trainer import (
+        create_train_state,
+        labels_for_batch,
+        make_train_step,
+    )
+
+    batch, _ = make_hetero_batch(
+        seed=0, batch_size=1, max_cav=max_cav, num_agents=num_agents,
+        max_points=max_points, image_size=image_size, num_cams=4,
+        camera_ratio=0.5, ego_mode="mixed", lidar_range=PROD_RANGE,
+    )
+    for i in range(num_agents):
+        batch["mode"][:, i] = (i + 1) % 2
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    anchor_args = {"W": 512, "H": 512, "l": 3.9, "w": 1.6, "h": 1.56,
+                   "r": [0, 90], "num": 2, "feature_stride": 4,
+                   "vw": 0.4, "vh": 0.4, "cav_lidar_range": PROD_RANGE}
+    anchors = generate_anchor_grid(anchor_args, "hwl")
+    pp = AnchorPostprocessor(
+        {"anchor_args": anchor_args,
+         "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
+                         "score_threshold": 0.27},
+         "order": "hwl", "max_num": 100, "nms_thresh": 0.15},
+        train=True)
+    labels = labels_for_batch(pp, anchors, batch)
+
+    cfg = dict(PROD_CFG, remat=remat)
+    model = HMViT(cfg)
+    tx = optax.adamw(2e-4)  # the canonical config's optimizer
+    state = create_train_state(model, tx, jb, rng=jax.random.key(0))
+    step = make_train_step(model, tx, half=True)
+    rng = jax.random.key(1)
+
+    state, metrics = step(state, jb, labels, rng)  # compile + warm
+    _ = float(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, jb, labels, rng)
+    _ = float(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    record = {
+        "metric": "train steps/sec/chip 4-agent mixed-modality "
+                  "(bf16 AMP, AdamW, remat=%s)" % remat,
+        "value": round(iters / dt, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": None,
+    }
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            record["hbm_peak_gb"] = round(peak / 2 ** 30, 2)
+    except Exception:
+        pass
+    print(json.dumps(record))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -221,10 +309,13 @@ if __name__ == "__main__":
     bs = 1
     if "--batch" in sys.argv:
         bs = int(sys.argv[sys.argv.index("--batch") + 1])
-    if "--stripe" in sys.argv:  # A/B: unsplit stripe attention kernel
+    if "--no_stripe" in sys.argv:  # A/B: split-relayout attention path
         PROD_CFG["hetero_fusion"]["hetero_fusion_block"][
-            "use_stripe"] = True
+            "use_stripe"] = False
     if "--expand" in sys.argv:  # A/B: pillar dense-tail build variant
         PROD_CFG["lidar"]["scatter_variant"] = \
             sys.argv[sys.argv.index("--expand") + 1]
-    main(bf16="--fp32" not in sys.argv, batch_size=bs)
+    if "--train" in sys.argv:  # training throughput instead of serving
+        train_main(remat="--no_remat" not in sys.argv)
+    else:
+        main(bf16="--fp32" not in sys.argv, batch_size=bs)

@@ -125,7 +125,9 @@ class HeteroWindowAttention(nn.Module):
     # natural (H, W) spatial layout — the (B,I,J,H,W,2C) window-split
     # relayout (~0.8 ms/phase xplane-measured) never materializes.
     # Requires use_pallas + style 'local' + H % window == 0.
-    use_stripe: bool = False
+    # Default ON since the round-3 TPU validation: bit-identical psm/rm
+    # to the split path on the production serving graph, +1.8 fps/chip.
+    use_stripe: bool = True
     # mixed-precision compute dtype for projections/warp/attention; the
     # residual stream, LN and params stay fp32 (MXU accumulates fp32)
     compute_dtype: str = "float32"
@@ -397,7 +399,7 @@ class HeteroFusionBlock(nn.Module):
     downsample_rate: float = 4.0
     compute_dtype: str = "float32"
     use_pallas: bool = True
-    use_stripe: bool = False
+    use_stripe: bool = True
 
     def _phase(self, style, name, x, mode, pairwise, agent_mask,
                deterministic, pair_mask, receivers=None,
@@ -487,7 +489,7 @@ class HeteroFusion(nn.Module):
             downsample_rate=st.get("downsample_rate", 4),
             compute_dtype=blk.get("compute_dtype", "float32"),
             use_pallas=blk.get("use_pallas", True),
-            use_stripe=blk.get("use_stripe", False),
+            use_stripe=blk.get("use_stripe", True),
         )
         pair_mask = pairwise_roi_mask(
             pairwise, agent_mask, x.shape[2:4],

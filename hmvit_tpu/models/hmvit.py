@@ -152,6 +152,32 @@ class HMViT(nn.Module):
 
         lidar_enc = PointPillarEncoder(cfg["lidar"], name="lidar_encoder")
         camera_enc = make_camera_encoder(cfg["camera"])
+
+        # Gradient checkpointing (cfg remat: true): under train, the
+        # three activation-heavy stages (camera trunk, pillar path,
+        # fusion) recompute their internals in the backward pass instead
+        # of storing them — jax.checkpoint is the TPU-native way to fit
+        # production-scale training steps in one chip's HBM (the
+        # reference leans on CUDA AMP + multi-GPU instead).  Serving and
+        # eval traces are untouched.  Closures keep `train` and
+        # `static_modes` out of the traced arguments (they are
+        # trace-time constants).
+        remat = bool(cfg.get("remat")) and train
+        if remat:
+            def run_lidar(pts, pm):
+                return nn.remat(
+                    lambda m, a, b_: m(a, b_, True))(lidar_enc, pts, pm)
+
+            def run_camera(c_, i_, e_):
+                return nn.remat(
+                    lambda m, a, b_, d: m(a, b_, d, True))(
+                        camera_enc, c_, i_, e_)
+        else:
+            def run_lidar(pts, pm):
+                return lidar_enc(pts, pm, train)
+
+            def run_camera(c_, i_, e_):
+                return camera_enc(c_, i_, e_, train)
         points = batch["points"].reshape(b * l, *batch["points"].shape[2:])
         pmask = batch["points_mask"].reshape(b * l, -1)
         cams = batch["camera"].reshape(b * l, *batch["camera"].shape[2:])
@@ -164,16 +190,16 @@ class HMViT(nn.Module):
             # --- both encoders on every slot (static single-program
             # graph; empty point sets for camera agents are one
             # all-masked pillar pass)
-            lidar_bev = lidar_enc(points, pmask, train)
-            cam_bev = camera_enc(cams, intr, extr, train)
+            lidar_bev = run_lidar(points, pmask)
+            cam_bev = run_camera(cams, intr, extr)
             is_lidar = (mode.reshape(-1) == 1)[:, None, None, None]
             x = jnp.where(is_lidar, lidar_bev, cam_bev)
         elif camera_bucket == 0:
             # all-lidar fleet: the camera encoder never runs
-            x = lidar_enc(points, pmask, train)
+            x = run_lidar(points, pmask)
         elif camera_bucket >= l:
             # all-camera fleet: the lidar encoder never runs
-            x = camera_enc(cams, intr, extr, train)
+            x = run_camera(cams, intr, extr)
         else:
             # --- serving bucket: cameras gathered first, encoded
             # compactly, scattered back; remaining slots take the lidar
@@ -182,9 +208,9 @@ class HMViT(nn.Module):
             order = jnp.argsort(mode.reshape(-1), stable=True)
             cam_idx = order[:nc]
             lid_idx = order[nc:]
-            cam_bev = camera_enc(cams[cam_idx], intr[cam_idx],
-                                 extr[cam_idx], train)
-            lidar_bev = lidar_enc(points[lid_idx], pmask[lid_idx], train)
+            cam_bev = run_camera(cams[cam_idx], intr[cam_idx],
+                                 extr[cam_idx])
+            lidar_bev = run_lidar(points[lid_idx], pmask[lid_idx])
             hwc = cam_bev.shape[1:]
             # result_type matches the run-both path's jnp.where dtype
             # promotion when the two encoders' compute dtypes differ
@@ -220,10 +246,17 @@ class HMViT(nn.Module):
                 kwargs["prior_encoding"] = batch["prior_encoding"]
             ego = fusion(x, mode, pairwise, agent_mask, **kwargs)
         else:
-            ego = HeteroFusion(cfg["hetero_fusion"], name="fusion")(
-                x, mode, pairwise, agent_mask, deterministic=not train,
-                static_modes=static_modes,
-            )  # (B, H, W, C)
+            fusion = HeteroFusion(cfg["hetero_fusion"], name="fusion")
+            if remat:
+                ego = nn.remat(
+                    lambda m, *a: m(*a, deterministic=not train,
+                                    static_modes=static_modes))(
+                    fusion, x, mode, pairwise, agent_mask)
+            else:
+                ego = fusion(
+                    x, mode, pairwise, agent_mask,
+                    deterministic=not train, static_modes=static_modes,
+                )  # (B, H, W, C)
 
         dec = cfg["hetero_decoder"]
         if dec.get("compute_dtype"):

@@ -115,10 +115,11 @@ def expand_rows_to_dense(comp, comp_ids, num_cells: int,
 CHUNK = 256          # rows per conditional DMA
 K_MAX = BLOCK // CHUNK + 2   # worst case: every cell occupied + slack
 SUBK2 = SUB + 16     # v2 window: <=128 matches + 8 align + 8 slack
+LANES = 128          # packed row width = one full lane tile
 
 
-def _expand_v2_kernel(r0_ref, r0s_ref, ids_ref, comp_ref, out_ref,
-                      ids_sc, comp_sc, sem, *, c, precision):
+def _expand_v2_kernel(r0_ref, r0s_ref, packed_ref, out_ref,
+                      packed_sc, sem, *, c, precision):
     """Demand-sized expansion: fetch ONLY the block's compacted rows.
 
     v1 fetches a fixed 2*BLOCK-row slab per 4096-cell block (~17x HBM
@@ -127,7 +128,13 @@ def _expand_v2_kernel(r0_ref, r0s_ref, ids_ref, comp_ref, out_ref,
     chunk DMAs — total traffic ~= the compacted array once — and places
     each 128-cell sub-block with a thin one-hot matmul, locating its
     rows via the prefetched per-sub-block searchsorted table (no
-    in-kernel compare-reductions)."""
+    in-kernel compare-reductions).
+
+    Manual HBM->VMEM copies must be full lane tiles (Mosaic rejects
+    sub-128-lane slices of an HBM memref), so the caller packs features
+    AND byte-split cell ids into one (rows, 128) buffer; the ids are
+    recovered in-kernel by an exact thin matmul against a
+    [1, 256, 65536] decode column (byte values are exact in bf16)."""
     b = pl.program_id(0)
     base = pl.multiple_of((r0_ref[b] // 8) * 8, 8)
     need = r0_ref[b + 1] - base + SUBK2
@@ -136,23 +143,24 @@ def _expand_v2_kernel(r0_ref, r0s_ref, ids_ref, comp_ref, out_ref,
     for k in range(K_MAX):
         @pl.when(k < nchunks)
         def _(k=k):
-            src = pl.ds(base + k * CHUNK, CHUNK)
             pltpu.make_async_copy(
-                ids_ref.at[src], ids_sc.at[pl.ds(k * CHUNK, CHUNK)],
-                sem.at[0, k]).start()
-            pltpu.make_async_copy(
-                comp_ref.at[src], comp_sc.at[pl.ds(k * CHUNK, CHUNK)],
-                sem.at[1, k]).start()
+                packed_ref.at[pl.ds(base + k * CHUNK, CHUNK)],
+                packed_sc.at[pl.ds(k * CHUNK, CHUNK)],
+                sem.at[k]).start()
 
     for k in range(K_MAX):
         @pl.when(k < nchunks)
         def _(k=k):
             pltpu.make_async_copy(
-                ids_ref.at[pl.ds(0, CHUNK)],
-                ids_sc.at[pl.ds(0, CHUNK)], sem.at[0, k]).wait()
-            pltpu.make_async_copy(
-                comp_ref.at[pl.ds(0, CHUNK)],
-                comp_sc.at[pl.ds(0, CHUNK)], sem.at[1, k]).wait()
+                packed_ref.at[pl.ds(0, CHUNK)],
+                packed_sc.at[pl.ds(0, CHUNK)], sem.at[k]).wait()
+
+    # decode column: lanes [c, c+1, c+2] hold the id bytes (lo..hi)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+    dec = (jnp.where(lane == c, 1.0, 0.0)
+           + jnp.where(lane == c + 1, 256.0, 0.0)
+           + jnp.where(lane == c + 2, 65536.0, 0.0)
+           ).astype(packed_sc.dtype)
 
     cell0 = b * BLOCK
     nsub = BLOCK // SUB
@@ -161,16 +169,21 @@ def _expand_v2_kernel(r0_ref, r0s_ref, ids_ref, comp_ref, out_ref,
         start_s = cell0 + s * SUB
         off = jnp.clip((r0s_ref[g] // 8) * 8 - base, 0,
                        K_MAX * CHUNK - SUBK2)
-        ids_w = ids_sc[pl.ds(pl.multiple_of(off, 8), SUBK2), :]
-        slab_w = comp_sc[pl.ds(pl.multiple_of(off, 8), SUBK2), :]
+        w_rows = packed_sc[pl.ds(pl.multiple_of(off, 8), SUBK2), :]
+        ids_f = jax.lax.dot_general(
+            w_rows, dec, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (SUBK2, 1), exact
+        ids_w = ids_f.astype(jnp.int32)
         cells_row = start_s + jax.lax.broadcasted_iota(
             jnp.int32, (1, SUB), 1)
-        oh = (ids_w == cells_row).astype(slab_w.dtype)  # (SUBK2, SUB)
+        oh = (ids_w == cells_row).astype(w_rows.dtype)  # (SUBK2, SUB)
         out_s = jax.lax.dot_general(
-            oh, slab_w, (((0,), (0,)), ((), ())),
+            oh, w_rows, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=precision)  # (SUB, C)
-        out_ref[s * SUB:(s + 1) * SUB, :] = out_s.astype(out_ref.dtype)
+            precision=precision)  # (SUB, LANES)
+        out_ref[s * SUB:(s + 1) * SUB, :] = \
+            out_s[:, :c].astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("num_cells", "interpret"))
@@ -179,17 +192,25 @@ def expand_rows_to_dense_v2(comp, comp_ids, num_cells: int,
     """Same contract as :func:`expand_rows_to_dense`, demand-sized DMAs."""
     m, c = comp.shape
     assert num_cells % BLOCK == 0
+    assert c <= LANES - 3, "features + 3 id-byte lanes must fit 128"
     num_blocks = num_cells // BLOCK
     pad = K_MAX * CHUNK
-    comp = jnp.pad(comp, ((0, pad), (0, 0)))
     ids = jnp.pad(comp_ids, (0, pad),
-                  constant_values=jnp.int32(num_cells))[:, None]
+                  constant_values=jnp.int32(num_cells))
+    # pack features + byte-split ids into one full-lane-tile buffer
+    # (bytes are exact in bf16; ids < 2^24)
+    b0 = (ids & 0xFF).astype(comp.dtype)
+    b1 = ((ids >> 8) & 0xFF).astype(comp.dtype)
+    b2 = (ids >> 16).astype(comp.dtype)
+    packed = jnp.concatenate(
+        [jnp.pad(comp, ((0, pad), (0, 0))),
+         jnp.stack([b0, b1, b2], axis=1),
+         jnp.zeros((m + pad, LANES - c - 3), comp.dtype)], axis=1)
 
     starts = jnp.arange(num_blocks + 1, dtype=jnp.int32) * BLOCK
-    r0 = jnp.searchsorted(ids[:, 0], starts,
-                          side="left").astype(jnp.int32)
+    r0 = jnp.searchsorted(ids, starts, side="left").astype(jnp.int32)
     sub_starts = jnp.arange(num_cells // SUB, dtype=jnp.int32) * SUB
-    r0s = jnp.searchsorted(ids[:, 0], sub_starts,
+    r0s = jnp.searchsorted(ids, sub_starts,
                            side="left").astype(jnp.int32)
 
     precision = (jax.lax.Precision.HIGHEST if comp.dtype == jnp.float32
@@ -197,14 +218,12 @@ def expand_rows_to_dense_v2(comp, comp_ids, num_cells: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # r0, r0s
         grid=(num_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BLOCK, c), lambda b, *_: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((K_MAX * CHUNK, 1), jnp.int32),
-            pltpu.VMEM((K_MAX * CHUNK, c), comp.dtype),
-            pltpu.SemaphoreType.DMA((2, K_MAX)),
+            pltpu.VMEM((K_MAX * CHUNK, LANES), comp.dtype),
+            pltpu.SemaphoreType.DMA((K_MAX,)),
         ],
     )
     return pl.pallas_call(
@@ -214,7 +233,7 @@ def expand_rows_to_dense_v2(comp, comp_ids, num_cells: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(r0, r0s, ids, comp)
+    )(r0, r0s, packed)
 
 
 def expand_rows_to_dense_xla(comp, comp_ids, num_cells: int):

@@ -45,6 +45,12 @@ def parse_args(argv=None):
                         "numpy/PIL-bound and releases the GIL)")
     p.add_argument("--half", action="store_true",
                    help="bf16 compute (fp32 master params)")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing: recompute the camera/"
+                        "lidar/fusion stages in the backward pass "
+                        "(jax.checkpoint) to fit production-scale "
+                        "training steps in one chip's HBM; numerically "
+                        "transparent (tests/test_remat.py)")
     p.add_argument("--camera_backbone_dir", default="")
     p.add_argument("--lidar_backbone_dir", default="")
     p.add_argument("--fix_camera_backbone", action="store_true")
@@ -109,6 +115,10 @@ def main(argv=None):
     pp = build_postprocessor(params["postprocess"], train=True)
     anchors = pp.generate_anchor_box()
 
+    if args.remat:
+        # threaded through to HMViT's cfg (models/hmvit.py); zoo models
+        # that don't read it simply ignore the key
+        params["model"].setdefault("args", {})["remat"] = True
     model = build_model(params["model"])
     batch_size = (args.batch_size
                   or params["train_params"]["batch_size"])
