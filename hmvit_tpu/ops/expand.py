@@ -44,7 +44,8 @@ def _expand_kernel(r0_ref, ids_lo_ref, ids_hi_ref, comp_lo_ref,
     for s in range(BLOCK // SUB):
         start_s = cell0 + s * SUB
         r0_s = jnp.sum((ids < start_s).astype(jnp.int32))
-        off = jnp.clip((r0_s // 8) * 8, 0, 2 * BLOCK - SUBK)
+        off = pl.multiple_of(
+            jnp.clip((r0_s // 8) * 8, 0, 2 * BLOCK - SUBK), 8)
         ids_s = ids_sc[pl.ds(off, SUBK), :]          # (SUBK, 1)
         slab_s = slab_sc[pl.ds(off, SUBK), :]        # (SUBK, C)
         cells_row = start_s + jax.lax.broadcasted_iota(
@@ -170,10 +171,16 @@ def _expand_v2_kernel(r0_ref, r0s_ref, packed_ref, out_ref,
         off = jnp.clip((r0s_ref[g] // 8) * 8 - base, 0,
                        K_MAX * CHUNK - SUBK2)
         w_rows = packed_sc[pl.ds(pl.multiple_of(off, 8), SUBK2), :]
+        # byte values (<=255) and power-of-2 multipliers make the decode
+        # exact under native bf16 MXU precision (fp32 accumulation);
+        # fp32 operands need HIGHEST (default fp32 is bf16-split passes).
+        # Mosaic rejects HIGHEST on bf16 lhs ("Bad lhs type").
         ids_f = jax.lax.dot_general(
             w_rows, dec, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (SUBK2, 1), exact
+            precision=(jax.lax.Precision.HIGHEST
+                       if w_rows.dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT))  # (SUBK2, 1)
         ids_w = ids_f.astype(jnp.int32)
         cells_row = start_s + jax.lax.broadcasted_iota(
             jnp.int32, (1, SUB), 1)

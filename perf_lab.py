@@ -292,6 +292,40 @@ def stage_fusion(compute_dtype="float32", l=L, static: bool = False,
     print(f"fusion 2-iter L={l}{tag} {compute_dtype}: {ms:.2f} ms")
 
 
+def stage_expand(dtype=jnp.bfloat16, n_nz=40000, clouds=2, c=64):
+    """Dense-tail isolation A/B: compacted rows -> (clouds*512^2, C).
+
+    Times the three builds of the dense BEV grid from sorted compacted
+    pillar rows at serving occupancy (~20k non-empty pillars/cloud):
+    the XLA searchsorted+gather oracle, the v1 slab kernel, and the
+    demand-sized-DMA v2 kernel (ops/expand.py)."""
+    from hmvit_tpu.ops.expand import (
+        expand_rows_to_dense,
+        expand_rows_to_dense_v2,
+        expand_rows_to_dense_xla,
+    )
+
+    num_cells = clouds * 512 * 512
+    key = jax.random.key(11)
+    ids = np.sort(np.random.RandomState(0).choice(
+        num_cells, size=n_nz, replace=False)).astype(np.int32)
+    comp = jax.random.normal(key, (n_nz, c), dtype)
+    ids = jnp.asarray(ids)
+
+    for name, fn in (("xla", expand_rows_to_dense_xla),
+                     ("v1", expand_rows_to_dense),
+                     ("v2", expand_rows_to_dense_v2)):
+        run = jax.jit(lambda co, i, f=fn: f(co, i, num_cells))
+        try:
+            ms = timeit(run, comp, ids, iters=10)
+        except Exception as e:  # first TPU lowering may reject a variant
+            print(f"expand[{name}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+            continue
+        print(f"expand[{name}] {n_nz} rows -> {num_cells}x{c} "
+              f"{np.dtype(dtype).name}: {ms:.2f} ms")
+
+
 STAGES = {
     "warp": lambda: (stage_warp(jnp.float32), stage_warp(jnp.bfloat16)),
     "attn": lambda: (stage_attn_typed(jnp.float32),),
@@ -315,6 +349,7 @@ STAGES = {
                                        stripe=True),),
     "pairwarp": lambda: (stage_pairwarp(jnp.bfloat16, l=4),
                          stage_pairwarp(jnp.bfloat16, l=5)),
+    "expand": lambda: (stage_expand(jnp.bfloat16),),
 }
 
 
