@@ -470,6 +470,85 @@ class HeteroCooperativeDataset:
             subs.append(sub)
         return subs
 
+    def get_sample(self, scenario_idx: int, timestamp_idx: int) -> dict:
+        """Raw structured access to one (scenario, timestamp): the
+        tutorial API (reference: tutorial/camera_api.ipynb via
+        basedataset.py get_sample semantics).
+
+        Returns OrderedDict keyed by cav_id string; each entry carries
+        'ego' (first CAV), 'lidar_pose', 'vehicles' (the frame yaml's
+        world-frame GT dicts), and 'camera_params' =
+        {camera{0..3}: {'camera_coords' (world pose of the camera),
+        'camera_extrinsic' (cam -> this agent's lidar frame, 4x4),
+        'camera_intrinsic' (3x3), 'image_path', 'image' (raw uint8
+        RGB, unresized)}}.  No padding, no preprocessing — this is the
+        inspection surface, not the training path."""
+        import cv2
+
+        _, cavs = self.scenarios[scenario_idx]
+        out = OrderedDict()
+        for ci, (cav, frames) in enumerate(cavs.items()):
+            stamps = list(frames.keys())
+            ts = stamps[timestamp_idx]
+            meta = load_frame_yaml(frames[ts]["yaml"])
+            pose = meta["lidar_pose"]
+            cam_params = OrderedDict()
+            for mi, cam_path in enumerate(frames[ts]["cameras"]):
+                cam_key = f"camera{mi}"
+                if cam_key not in meta:
+                    continue
+                img = None
+                if os.path.exists(cam_path):
+                    img = cv2.cvtColor(cv2.imread(cam_path),
+                                       cv2.COLOR_BGR2RGB)
+                cam_params[cam_key] = {
+                    "camera_coords": meta[cam_key]["cords"],
+                    "camera_extrinsic": T.pose_to_pose(
+                        meta[cam_key]["cords"], pose),
+                    "camera_intrinsic": np.asarray(
+                        meta[cam_key]["intrinsic"], np.float64),
+                    "image_path": cam_path,
+                    "image": img,
+                }
+            out[str(cav)] = {
+                "ego": ci == 0,
+                "lidar_pose": pose,
+                "vehicles": meta.get("vehicles", {}),
+                "camera_params": cam_params,
+            }
+        return out
+
+    def visualize_all_agents_bbx(self, sample: dict):
+        """Draw each agent's GT boxes (its own frame) as 3D wireframes
+        onto its camera images (reference: BaseCameraDataset.
+        visualize_all_agents_bbx used by tutorial/camera_api.ipynb).
+
+        Returns (draw_image_list, cav_id_list): per CAV, a list of its
+        drawn camera images in camera order."""
+        from ..utils import camera as camera_utils
+
+        draw_image_list, cav_id_list = [], []
+        for cav_id, content in sample.items():
+            boxes = project_world_objects(
+                content["vehicles"], content["lidar_pose"],
+                self.lidar_range, self.order)
+            corners = (
+                box_utils.boxes_to_corners_3d(
+                    np.stack(list(boxes.values())), self.order)
+                if boxes else np.zeros((0, 8, 3)))
+            drawn = []
+            for cam in content["camera_params"].values():
+                if cam["image"] is None:
+                    continue
+                uvd = camera_utils.corners_to_camera(
+                    corners, cam["camera_intrinsic"],
+                    cam["camera_extrinsic"])
+                drawn.append(
+                    camera_utils.draw_3d_boxes(cam["image"], uvd))
+            draw_image_list.append(drawn)
+            cav_id_list.append(cav_id)
+        return draw_image_list, cav_id_list
+
     @staticmethod
     def collate_batch(frames: list) -> dict:
         keys = [k for k in frames[0] if not k.startswith("object_ids")]

@@ -56,6 +56,34 @@ def draw_2d_boxes(image, cam_corners, color=(255, 0, 0), thickness=2):
     return out
 
 
+def plot_all_agents(draw_image_list, cav_id_list, save_path=None):
+    """Grid of every agent's (drawn) camera images: one row per CAV,
+    one column per camera (reference: camera_utils.plot_all_agents,
+    the tutorial notebook's display step).  Headless by design —
+    returns the matplotlib figure and optionally saves a png."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = len(draw_image_list)
+    cols = max((len(r) for r in draw_image_list), default=1)
+    fig, axes = plt.subplots(rows, cols,
+                             figsize=(3 * cols, 3 * rows), squeeze=False)
+    for r, (images, cav_id) in enumerate(
+            zip(draw_image_list, cav_id_list)):
+        for c in range(cols):
+            ax = axes[r][c]
+            ax.axis("off")
+            if c < len(images):
+                ax.imshow(images[c])
+                ax.set_title(f"agent {cav_id} camera{c}", fontsize=8)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=80)
+    return fig
+
+
 def draw_3d_boxes(image, cam_corners, color=(0, 255, 0), thickness=2):
     """Wireframe 3D boxes (reference: camera_utils.py:185-224)."""
     import cv2

@@ -133,3 +133,58 @@ def test_loader_feeds_model(mini_root):
     out = model.apply(variables, batch, train=False)
     assert out["psm"].shape == (1, 2, 16, 16)
     assert np.all(np.isfinite(np.asarray(out["psm"])))
+
+
+def test_tutorial_camera_api(mini_root, tmp_path):
+    """Tutorial-twin flow (reference tutorial/camera_api.ipynb):
+    get_sample raw access -> per-agent GT box drawing on camera images
+    -> plot_all_agents grid."""
+    from hmvit_tpu.utils.camera import corners_to_camera, plot_all_agents
+
+    params = dict(PARAMS, root_dir=mini_root, validate_dir=mini_root)
+    ds = HeteroCooperativeDataset(params, train=False, max_points=512)
+
+    sample = ds.get_sample(0, 1)
+    assert len(sample) == 2  # fixture writes 2 CAVs
+    first = next(iter(sample.values()))
+    assert first["ego"] is True
+    cam0 = first["camera_params"]["camera0"]
+    assert cam0["camera_intrinsic"].shape == (3, 3)
+    assert cam0["camera_extrinsic"].shape == (4, 4)
+    assert cam0["image"].shape == (64, 64, 3)  # raw, unresized
+    assert first["vehicles"], "fixture frames carry GT vehicles"
+
+    # every GT box lands in at least one of the 4 yaw-offset cameras
+    from hmvit_tpu.data.opv2v import project_world_objects
+    from hmvit_tpu.utils import boxes as box_utils
+
+    boxes = project_world_objects(first["vehicles"], first["lidar_pose"],
+                                  params["preprocess"]["cav_lidar_range"],
+                                  "hwl")
+    corners = box_utils.boxes_to_corners_3d(
+        np.stack(list(boxes.values())), "hwl")
+    hit = np.zeros(len(corners), bool)
+    for cam in first["camera_params"].values():
+        uvd = corners_to_camera(corners, cam["camera_intrinsic"],
+                                cam["camera_extrinsic"])
+        inside = ((uvd[..., 0] > 0) & (uvd[..., 0] < 64)
+                  & (uvd[..., 1] > 0) & (uvd[..., 1] < 64)
+                  & (uvd[..., 2] > 0))
+        hit |= inside.any(axis=1)
+    assert hit.any(), "no GT box projects into any camera"
+
+    draw_list, cav_ids = ds.visualize_all_agents_bbx(sample)
+    assert len(draw_list) == len(cav_ids) == 2
+    assert all(len(images) == 4 for images in draw_list)
+    assert draw_list[0][0].shape == (64, 64, 3)
+    # drawing must have changed at least one drawn camera image
+    changed = any(
+        not np.array_equal(img, sample[cid]["camera_params"]
+                           [f"camera{ci}"]["image"])
+        for imgs, cid in zip(draw_list, cav_ids)
+        for ci, img in enumerate(imgs))
+    assert changed, "wireframes drawn nowhere"
+
+    out_png = str(tmp_path / "agents.png")
+    fig = plot_all_agents(draw_list, cav_ids, save_path=out_png)
+    assert fig is not None and os.path.exists(out_png)
