@@ -21,6 +21,7 @@ def write_mini_opv2v(
     image_size: int = 64,
     max_points: int = 4096,
     seed: int = 0,
+    min_separation: float = 0.0,
 ) -> None:
     rng = np.random.default_rng(seed)
     try:
@@ -30,7 +31,8 @@ def write_mini_opv2v(
 
     for s in range(num_scenarios):
         vehicles, poses = synthetic.make_scene(
-            rng, num_agents=num_cavs, num_vehicles=num_vehicles, area=30.0
+            rng, num_agents=num_cavs, num_vehicles=num_vehicles, area=30.0,
+            min_separation=min_separation,
         )
         scen_dir = os.path.join(root, f"scenario_{s:02d}")
         for ci in range(num_cavs):
@@ -38,7 +40,14 @@ def write_mini_opv2v(
             os.makedirs(cav_dir, exist_ok=True)
             for t in range(num_frames):
                 ts = f"{68 + 2 * t:06d}"
-                pose = list(np.asarray(poses[ci]) + t * 0.5)
+                # drift in x/y only: shifting z (or roll/pitch) levitates
+                # the ego and pushes GT box bottoms past the reference's
+                # abnormal-z post-process filter (z < -3), silently
+                # zeroing recall on later frames
+                pose = np.asarray(poses[ci], dtype=float).copy()
+                pose[0] += t * 0.5
+                pose[1] += t * 0.5
+                pose = list(pose)
                 meta = {
                     "lidar_pose": [float(x) for x in pose],
                     "true_ego_pos": [float(x) for x in pose],

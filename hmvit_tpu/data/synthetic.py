@@ -20,11 +20,30 @@ def make_scene(
     num_agents: int = 4,
     num_vehicles: int = 12,
     area: float = 60.0,
+    min_separation: float = 0.0,
 ):
-    """Random world: vehicle boxes (hwl order) + agent poses."""
+    """Random world: vehicle boxes (hwl order) + agent poses.
+
+    min_separation > 0 rejection-samples vehicle centers to keep every
+    pair at least that far apart (real traffic never interpenetrates;
+    overlapping draws cap the achievable AP because rotated NMS merges
+    them).  Default 0 preserves the historical draws bit-for-bit.
+    """
     vehicles = np.zeros((num_vehicles, 7))
-    vehicles[:, 0] = rng.uniform(-area, area, num_vehicles)
-    vehicles[:, 1] = rng.uniform(-area, area, num_vehicles)
+    if min_separation > 0:
+        centers = np.empty((0, 2))
+        while len(centers) < num_vehicles:
+            cand = rng.uniform(-area, area, (1, 2))
+            if len(centers) == 0 or (
+                np.linalg.norm(centers - cand, axis=1).min()
+                >= min_separation
+            ):
+                centers = np.concatenate([centers, cand])
+        vehicles[:, 0] = centers[:, 0]
+        vehicles[:, 1] = centers[:, 1]
+    else:
+        vehicles[:, 0] = rng.uniform(-area, area, num_vehicles)
+        vehicles[:, 1] = rng.uniform(-area, area, num_vehicles)
     vehicles[:, 2] = rng.uniform(-0.2, 0.2, num_vehicles)
     vehicles[:, 3] = rng.uniform(1.4, 1.8, num_vehicles)  # h
     vehicles[:, 4] = rng.uniform(1.6, 2.1, num_vehicles)  # w
