@@ -487,9 +487,16 @@ class HeteroCooperativeDataset:
 
         _, cavs = self.scenarios[scenario_idx]
         out = OrderedDict()
+        # resolve the timestamp ONCE from the ego (first CAV) and reuse
+        # it for every CAV, matching __getitem__ / the reference's
+        # retrieve_base_data — per-CAV positional indexing would mix
+        # physical timestamps when CAV frame sets differ (late join /
+        # early leave in real OPV2V)
+        ego_frames = next(iter(cavs.values()))
+        ts = list(ego_frames.keys())[timestamp_idx]
         for ci, (cav, frames) in enumerate(cavs.items()):
-            stamps = list(frames.keys())
-            ts = stamps[timestamp_idx]
+            if ts not in frames:
+                continue
             meta = load_frame_yaml(frames[ts]["yaml"])
             pose = meta["lidar_pose"]
             cam_params = OrderedDict()
@@ -537,14 +544,18 @@ class HeteroCooperativeDataset:
                     np.stack(list(boxes.values())), self.order)
                 if boxes else np.zeros((0, 8, 3)))
             drawn = []
-            for cam in content["camera_params"].values():
+            # keep (camera_key, image) pairs so a missing camera file
+            # can't shift later images into the wrong column/title
+            for cam_key, cam in content["camera_params"].items():
                 if cam["image"] is None:
+                    drawn.append((cam_key, None))
                     continue
                 uvd = camera_utils.corners_to_camera(
                     corners, cam["camera_intrinsic"],
                     cam["camera_extrinsic"])
                 drawn.append(
-                    camera_utils.draw_3d_boxes(cam["image"], uvd))
+                    (cam_key,
+                     camera_utils.draw_3d_boxes(cam["image"], uvd)))
             draw_image_list.append(drawn)
             cav_id_list.append(cav_id)
         return draw_image_list, cav_id_list

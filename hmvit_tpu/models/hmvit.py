@@ -12,6 +12,7 @@ mode convention: 0 = camera, 1 = lidar.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -126,7 +127,10 @@ class HMViT(nn.Module):
           mode-sorted order include lidar agents, which would silently
           receive camera-encoded features — do NOT round buckets up.
           The dispatcher in ``tools/inference.py`` always passes the
-          exact per-frame count.  None (training default) runs both
+          exact per-frame count, and ``config: debug_checks: true``
+          installs a runtime guard that raises on a rounded-up bucket
+          (host callback — leave it off in production serving).
+          None (training default) runs both
           encoders on every slot for a mix-independent trace.
         - ``static_modes``: the fleet's per-agent modality layout
           (AFTER ``active_agents`` slicing), known at trace time; lets
@@ -207,6 +211,24 @@ class HMViT(nn.Module):
             nc = camera_bucket
             order = jnp.argsort(mode.reshape(-1), stable=True)
             cam_idx = order[:nc]
+            if cfg.get("debug_checks", False):
+                # runtime guard against the bucket > true-camera-count
+                # corruption mode documented above: every mode-sorted
+                # slot inside the bucket must actually be a camera
+                # agent (mode 0).  Host callback, so gate it off in
+                # production serving (it adds a device->host sync).
+                def _check_bucket(cam_modes, nc=nc):
+                    import numpy as _np
+
+                    if _np.any(_np.asarray(cam_modes) != 0):
+                        raise ValueError(
+                            f"camera_bucket={nc} exceeds the batch's "
+                            "true camera count: the first "
+                            f"{nc} mode-sorted slots include lidar "
+                            "agents, which would silently receive "
+                            "camera-encoded features")
+
+                jax.debug.callback(_check_bucket, mode.reshape(-1)[cam_idx])
             lid_idx = order[nc:]
             cam_bev = run_camera(cams[cam_idx], intr[cam_idx],
                                  extr[cam_idx])

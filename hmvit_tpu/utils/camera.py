@@ -59,12 +59,29 @@ def draw_2d_boxes(image, cam_corners, color=(255, 0, 0), thickness=2):
 def plot_all_agents(draw_image_list, cav_id_list, save_path=None):
     """Grid of every agent's (drawn) camera images: one row per CAV,
     one column per camera (reference: camera_utils.plot_all_agents,
-    the tutorial notebook's display step).  Headless by design —
-    returns the matplotlib figure and optionally saves a png."""
+    the tutorial notebook's display step).
+
+    Each row's entries may be plain images or ``(camera_key, image)``
+    pairs (what ``visualize_all_agents_bbx`` returns) — pairs keep
+    column titles tracking the actual camera id even when a camera's
+    image is missing (``None`` leaves the cell blank).
+
+    Returns the matplotlib figure and optionally saves a png.  Only
+    switches to the Agg backend when no display is available, so an
+    interactive session's ``plt.show()`` keeps working."""
+    import os
+
     import matplotlib
 
-    matplotlib.use("Agg")
+    if not os.environ.get("DISPLAY") and not os.environ.get(
+            "MPLBACKEND"):
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    def norm(entry, c):
+        if isinstance(entry, tuple):
+            return entry
+        return (f"camera{c}", entry)
 
     rows = len(draw_image_list)
     cols = max((len(r) for r in draw_image_list), default=1)
@@ -76,8 +93,10 @@ def plot_all_agents(draw_image_list, cav_id_list, save_path=None):
             ax = axes[r][c]
             ax.axis("off")
             if c < len(images):
-                ax.imshow(images[c])
-                ax.set_title(f"agent {cav_id} camera{c}", fontsize=8)
+                cam_key, img = norm(images[c], c)
+                if img is not None:
+                    ax.imshow(img)
+                ax.set_title(f"agent {cav_id} {cam_key}", fontsize=8)
     fig.tight_layout()
     if save_path:
         fig.savefig(save_path, dpi=80)

@@ -257,6 +257,39 @@ def test_serving_bucket_matches_run_both():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_serving_bucket_debug_guard():
+    """debug_checks: true installs a runtime guard that rejects a
+    camera_bucket larger than the batch's true camera count (the
+    documented silent-corruption mode: lidar agents inside the bucket
+    would receive camera-encoded features)."""
+    import pytest
+
+    from hmvit_tpu.data.synthetic import make_hetero_batch
+    from hmvit_tpu.models.hmvit import HMViT
+
+    from tiny_cfg import RANGE, TINY_CFG
+
+    batch, _ = make_hetero_batch(
+        seed=7, batch_size=1, max_cav=4, num_agents=3, max_points=2048,
+        image_size=32, num_cams=4, camera_ratio=0.5, ego_mode="mixed",
+        lidar_range=RANGE)
+    batch["mode"][:, 0] = 1
+    batch["mode"][:, 1] = 0
+    batch["mode"][:, 2] = 1
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    cfg = dict(TINY_CFG, debug_checks=True)
+    model = HMViT(cfg)
+    v = model.init(jax.random.key(0), jb, train=False)
+    # exact count (1 camera agent): guard passes
+    model.apply(v, jb, train=False, camera_bucket=1, active_agents=3)
+    # rounded-up bucket: guard must raise, not corrupt
+    with pytest.raises(Exception, match="camera count"):
+        out = model.apply(v, jb, train=False, camera_bucket=2,
+                          active_agents=3)
+        jax.block_until_ready(out["psm"])
+
+
 def test_serving_bucket_degenerate_fleets():
     """All-lidar (camera_bucket=0) and all-camera (camera_bucket=L)
     fleets skip the unused encoder yet match the run-both outputs."""

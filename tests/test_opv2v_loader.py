@@ -176,13 +176,15 @@ def test_tutorial_camera_api(mini_root, tmp_path):
     draw_list, cav_ids = ds.visualize_all_agents_bbx(sample)
     assert len(draw_list) == len(cav_ids) == 2
     assert all(len(images) == 4 for images in draw_list)
-    assert draw_list[0][0].shape == (64, 64, 3)
+    # entries are (camera_key, image) pairs so missing cameras can't
+    # shift later images into the wrong titled column
+    assert draw_list[0][0][0] == "camera0"
+    assert draw_list[0][0][1].shape == (64, 64, 3)
     # drawing must have changed at least one drawn camera image
     changed = any(
-        not np.array_equal(img, sample[cid]["camera_params"]
-                           [f"camera{ci}"]["image"])
+        not np.array_equal(img, sample[cid]["camera_params"][key]["image"])
         for imgs, cid in zip(draw_list, cav_ids)
-        for ci, img in enumerate(imgs))
+        for key, img in imgs)
     assert changed, "wireframes drawn nowhere"
 
     out_png = str(tmp_path / "agents.png")
