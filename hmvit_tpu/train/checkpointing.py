@@ -41,6 +41,18 @@ def find_last_step(ckpt_dir: str) -> int | None:
 
 
 def restore_checkpoint(ckpt_dir: str, abstract_state, step: int | None = None):
+    # abstract leaves without an explicit sharding get the local default
+    # device, so checkpoints restore across topologies (e.g. a converted
+    # checkpoint written on TPU, restored on CPU) instead of failing on
+    # the recorded sharding file.
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def _with_sharding(x):
+        if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None:
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return x
+
+    abstract_state = jax.tree_util.tree_map(_with_sharding, abstract_state)
     mgr = _manager(ckpt_dir)
     step = step if step is not None else mgr.latest_step()
     if step is None:
