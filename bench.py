@@ -214,7 +214,7 @@ def main(iters: int = 20, max_cav: int = 5, num_agents: int = 4,
 
 def train_main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
                image_size: int = 512, max_points: int = 30000,
-               remat: bool = True):
+               remat=True, batch_size: int = 1):
     """Training throughput: optimizer steps/sec/chip at production scale.
 
     Full run-both trace (training can't use serving buckets — the fleet
@@ -247,8 +247,9 @@ def train_main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     )
 
     batch, _ = make_hetero_batch(
-        seed=0, batch_size=1, max_cav=max_cav, num_agents=num_agents,
-        max_points=max_points, image_size=image_size, num_cams=4,
+        seed=0, batch_size=batch_size, max_cav=max_cav,
+        num_agents=num_agents, max_points=max_points,
+        image_size=image_size, num_cams=4,
         camera_ratio=0.5, ego_mode="mixed", lidar_range=PROD_RANGE,
     )
     for i in range(num_agents):
@@ -283,18 +284,36 @@ def train_main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     _ = float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
+    steps_per_sec = iters / dt
     record = {
         "metric": "train steps/sec/chip 4-agent mixed-modality "
-                  "(bf16 AMP, AdamW, remat=%s)" % remat,
-        "value": round(iters / dt, 3),
+                  "(bf16 AMP, AdamW, remat=%s, batch=%d)"
+                  % (remat, batch_size),
+        "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
+        "frames_per_sec": round(steps_per_sec * batch_size, 3),
         "vs_baseline": None,
     }
+    # train-side MFU: XLA's own FLOP count for the compiled step
+    # (fwd + bwd + remat recompute + AdamW), against the chip's peak
+    try:
+        analysis = step.lower(state, jb, labels,
+                              rng).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        peak = peak_bf16_flops(jax.devices()[0])
+        if flops and peak:
+            record["flops_per_step"] = round(flops / 1e9, 2)
+            record["flops_unit"] = "GFLOP/step"
+            record["train_mfu"] = round(steps_per_sec * flops / peak, 4)
+    except Exception:
+        pass
     try:
         stats = jax.devices()[0].memory_stats() or {}
-        peak = stats.get("peak_bytes_in_use")
-        if peak:
-            record["hbm_peak_gb"] = round(peak / 2 ** 30, 2)
+        peak_b = stats.get("peak_bytes_in_use")
+        if peak_b:
+            record["hbm_peak_gb"] = round(peak_b / 2 ** 30, 2)
     except Exception:
         pass
     print(json.dumps(record))
@@ -312,10 +331,19 @@ if __name__ == "__main__":
     if "--no_stripe" in sys.argv:  # A/B: split-relayout attention path
         PROD_CFG["hetero_fusion"]["hetero_fusion_block"][
             "use_stripe"] = False
+    if "--fused_wa" in sys.argv:  # A/B: single-kernel warp->attend
+        PROD_CFG["hetero_fusion"]["hetero_fusion_block"][
+            "use_fused_wa"] = True
     if "--expand" in sys.argv:  # A/B: pillar dense-tail build variant
         PROD_CFG["lidar"]["scatter_variant"] = \
             sys.argv[sys.argv.index("--expand") + 1]
     if "--train" in sys.argv:  # training throughput instead of serving
-        train_main(remat="--no_remat" not in sys.argv)
+        remat = True
+        if "--no_remat" in sys.argv:
+            remat = False
+        if "--remat_stages" in sys.argv:  # e.g. fusion  or  camera,fusion
+            remat = sys.argv[
+                sys.argv.index("--remat_stages") + 1].split(",")
+        train_main(remat=remat, batch_size=bs)
     else:
         main(bf16="--fp32" not in sys.argv, batch_size=bs)

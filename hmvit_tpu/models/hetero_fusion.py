@@ -128,6 +128,14 @@ class HeteroWindowAttention(nn.Module):
     # Default ON since the round-3 TPU validation: bit-identical psm/rm
     # to the split path on the production serving graph, +1.8 fps/chip.
     use_stripe: bool = True
+    # grand fusion: warp + stripe attention in one kernel (the warped
+    # kv_pair never round-trips HBM).  Bit-identical to the split path
+    # (tests/test_fused_warp_attention.py) but MEASURED SLOWER on v5e
+    # (PERF.md round 4: isolated 7.6 vs 6.1 ms, e2e 28.9 vs 29.5 fps —
+    # the 134 MB round trip costs ~0.17 ms and was already overlapped;
+    # fusing removed the split kernels' DMA/compute overlap).  Kept as
+    # a validated option + record; default OFF.
+    use_fused_wa: bool = False
     # mixed-precision compute dtype for projections/warp/attention; the
     # residual stream, LN and params stay fp32 (MXU accumulates fp32)
     compute_dtype: str = "float32"
@@ -136,7 +144,7 @@ class HeteroWindowAttention(nn.Module):
     def __call__(self, x, mode, pairwise, agent_mask,
                  deterministic: bool = True, pair_mask=None,
                  receivers: int | None = None,
-                 static_modes: tuple | None = None):
+                 static_modes: tuple | None = None, sp=None):
         b, l, h, w, c = x.shape
         r = l if receivers is None else receivers
         heads = self.dim // self.dim_head
@@ -245,12 +253,134 @@ class HeteroWindowAttention(nn.Module):
             # (2, heads, d) flattens to [K-half | V-half] = 2C
             kv2 = kv2.reshape(b, ntau, l, h, w, 2 * c)
 
+        # SP (spatial partitioning) island: per-agent maps arrive H-
+        # sharded over sp = (mesh, axis).  The Pallas kernels are not
+        # GSPMD-partitionable, so the warp+attention segment runs under
+        # an explicit shard_map: each shard all-gathers the (typed,
+        # folded) sender K/V on H — rigid warps mix rows globally, the
+        # same data motion GSPMD inserts for the XLA path's warp
+        # matmuls — warps ONLY its local destination-row window
+        # (pallas_pair_warp dest_row_*), and runs the stripe attention
+        # on its local rows (8x8 windows never cross the shard edge
+        # when h_loc % win == 0).  On CPU meshes the kernels run in
+        # interpret mode, which is how the virtual-8-device test pins
+        # SP == unsharded without TPU hardware.
+        nsh = sp[0].shape[sp[1]] if sp is not None else 1
+        use_sp_island = (
+            sp is not None and self.use_pallas and self.use_stripe
+            and self.style == "local" and h == w and h % 32 == 0
+            and h >= 56 and h % nsh == 0 and (h // nsh) % 32 == 0
+            and (h // nsh) % win == 0)
+        if use_sp_island:
+            from jax.sharding import PartitionSpec as P
+
+            from ..ops.fused_warp import pallas_pair_warp
+            from ..ops.window_attention import stripe_window_attention
+
+            mesh, axis = sp
+            if pair_mask is None:
+                pair_mask = pairwise_roi_mask(
+                    pairwise, agent_mask, (h, w),
+                    self.discrete_ratio, self.downsample_rate)
+            com_mask = pair_mask[:, :r]
+            table = self.param(
+                "rel_pos_bias", nn.initializers.normal(0.02),
+                ((2 * win - 1) ** 2, heads))
+            idx = jnp.asarray(relative_position_index(win))
+            bias_h = table[idx].transpose(2, 0, 1).astype(cdt)
+            mask_ij = jnp.moveaxis(com_mask, -1, 2)  # (B, I, J, H, W)
+            if self.exclude_self:
+                eye = jnp.eye(l)[:r][None, :, :, None, None]
+                mask_ij = mask_ij * (1.0 - eye)
+            interp = jax.default_backend() != "tpu"
+            yt_loc = (h // nsh) // 32
+            h_loc = yt_loc * 32
+
+            def island(q_l, kv2_l, mask_l, pairwise_, rv_, bias_):
+                kv2_f = jax.lax.all_gather(kv2_l, axis, axis=3,
+                                           tiled=True)
+                rt0 = (jax.lax.axis_index(axis) * yt_loc).astype(
+                    jnp.int32)
+                kvp = pallas_pair_warp(
+                    kv2_f, pairwise_, rv_, self.discrete_ratio,
+                    self.downsample_rate, interpret=interp,
+                    num_receivers=receivers,
+                    dest_row_start=rt0[None], dest_row_tiles=yt_loc)
+                out_l = stripe_window_attention(
+                    q_l.reshape(b * r, h_loc, w, c),
+                    kvp.reshape(b * r, l, h_loc, w, 2 * c),
+                    bias_, mask_l.reshape(b * r, l, h_loc, w),
+                    win=win, heads=heads, dim_head=d, interpret=interp)
+                return out_l.reshape(b, r, h_loc, w, c)
+
+            out = jax.shard_map(
+                island, mesh=mesh,
+                in_specs=(P(None, None, axis),
+                          P(None, None, None, axis),
+                          P(None, None, None, axis),
+                          P(), P(), P()),
+                out_specs=P(None, None, axis),
+                # pallas_call out_shapes carry no varying-mesh-axes
+                # info; the specs above are the full contract
+                check_vma=False,
+            )((q * scale).astype(cdt),
+              kv2.astype(cdt),
+              mask_ij.astype(cdt),
+              pairwise, recv_variant, bias_h)
+            out = HeteroDense(self.dim, self.num_types,
+                              name="to_out")(out, mode[:, :r], sm_r)
+            out = out.astype(jnp.float32)
+            return nn.Dropout(self.dropout,
+                              deterministic=deterministic)(out)
+
         # Select each receiver's typed variant and warp sender j's K/V
         # into receiver i's frame as one concatenated 2C tensor.
         # transform[b, i, j] = pairwise[b, j, i] (j -> i).
         use_fused_warp = (
-            self.use_pallas and jax.default_backend() == "tpu"
+            self.use_pallas and sp is None
+            and jax.default_backend() == "tpu"
             and h == w and h % 32 == 0 and h >= 56)
+
+        # Grand fusion: warp + attention in ONE kernel — the warped
+        # kv_pair (B, I, J, H, W, 2C) never round-trips HBM
+        # (ops/fused_warp_attention.py; bit-identical to the split
+        # pallas_pair_warp -> stripe path per tests).
+        use_fused_wa = (
+            self.use_fused_wa and use_fused_warp and self.use_stripe
+            and self.style == "local" and 32 % win == 0)
+        if use_fused_wa:
+            from ..ops.fused_warp_attention import (
+                fused_warp_window_attention,
+            )
+
+            if pair_mask is None:
+                pair_mask = pairwise_roi_mask(
+                    pairwise, agent_mask, (h, w),
+                    self.discrete_ratio, self.downsample_rate)
+            com_mask = pair_mask[:, :r]  # (B, I, H, W, J)
+            table = self.param(
+                "rel_pos_bias",
+                nn.initializers.normal(0.02),
+                ((2 * win - 1) ** 2, heads),
+            )
+            idx = jnp.asarray(relative_position_index(win))
+            bias_h = table[idx].transpose(2, 0, 1).astype(cdt)
+            mask_ij = jnp.moveaxis(com_mask, -1, 2)  # (B, I, J, H, W)
+            if self.exclude_self:
+                eye = jnp.eye(l)[:r][None, :, :, None, None]
+                mask_ij = mask_ij * (1.0 - eye)
+            out = fused_warp_window_attention(
+                (q * scale).astype(cdt).reshape(b * r, h, w, c),
+                kv2, pairwise, recv_variant,
+                mask_ij.reshape(b * r, l, h, w).astype(cdt),
+                bias_h, win, heads, d,
+                self.discrete_ratio, self.downsample_rate, receivers,
+            ).reshape(b, r, h, w, c)
+            out = HeteroDense(self.dim, self.num_types,
+                              name="to_out")(out, mode[:, :r], sm_r)
+            out = out.astype(jnp.float32)
+            return nn.Dropout(self.dropout,
+                              deterministic=deterministic)(out)
         if use_fused_warp:
             from ..ops.fused_warp import fused_pair_warp
 
@@ -288,7 +418,8 @@ class HeteroWindowAttention(nn.Module):
         bias_h = bias.transpose(2, 0, 1).astype(cdt)
 
         use_stripe = (
-            self.use_stripe and self.use_pallas and self.style == "local"
+            self.use_stripe and self.use_pallas and sp is None
+            and self.style == "local"
             and jax.default_backend() == "tpu" and h % win == 0
             and w % win == 0)
         if use_stripe:
@@ -332,7 +463,8 @@ class HeteroWindowAttention(nn.Module):
             mw = mw * (1.0 - eye)
 
         qw = (qw * scale).astype(cdt)
-        if self.use_pallas and jax.default_backend() == "tpu":
+        if self.use_pallas and sp is None and \
+                jax.default_backend() == "tpu":
             from ..ops.window_attention import fused_plain_window_attention
 
             out = fused_plain_window_attention(
@@ -400,10 +532,11 @@ class HeteroFusionBlock(nn.Module):
     compute_dtype: str = "float32"
     use_pallas: bool = True
     use_stripe: bool = True
+    use_fused_wa: bool = False
 
     def _phase(self, style, name, x, mode, pairwise, agent_mask,
                deterministic, pair_mask, receivers=None,
-               static_modes=None):
+               static_modes=None, sp=None):
         cdt = jnp.dtype(self.compute_dtype)
         r = x.shape[1] if receivers is None else receivers
         sm_r = static_modes[:r] if static_modes is not None else None
@@ -419,9 +552,10 @@ class HeteroFusionBlock(nn.Module):
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             use_stripe=self.use_stripe,
+            use_fused_wa=self.use_fused_wa,
             name=f"{name}_attn",
         )(x_n, mode, pairwise, agent_mask, deterministic, pair_mask,
-          receivers, static_modes)
+          receivers, static_modes, sp)
         msg = msg * agent_mask[:, :r, None, None, None]
         x = x[:, :r] + msg
         ffn_in = HeteroLayerNorm(name=f"{name}_ffn_norm")(x, mode[:, :r])
@@ -436,7 +570,7 @@ class HeteroFusionBlock(nn.Module):
     def __call__(self, x, mode, pairwise, agent_mask,
                  deterministic: bool = True, pair_mask=None,
                  receivers: int | None = None,
-                 static_modes: tuple | None = None):
+                 static_modes: tuple | None = None, sp=None):
         """receivers restricts the BLOCK OUTPUT to the first I agents —
         valid only when later stages consume no other agent (the last
         fusion iteration feeding the ego head).  In sequential mode the
@@ -449,7 +583,7 @@ class HeteroFusionBlock(nn.Module):
         if self.architect_mode == "sequential":
             x = self._phase("local", "window", x, mode, pairwise,
                             agent_mask, deterministic, pair_mask,
-                            static_modes=static_modes)
+                            static_modes=static_modes, sp=sp)
             x = self._phase("grid", "grid", x, mode, pairwise, agent_mask,
                             deterministic, pair_mask, receivers,
                             static_modes)
@@ -474,7 +608,7 @@ class HeteroFusion(nn.Module):
     @nn.compact
     def __call__(self, x, mode, pairwise, agent_mask,
                  deterministic: bool = True,
-                 static_modes: tuple | None = None):
+                 static_modes: tuple | None = None, sp=None):
         cfg = self.config
         blk = cfg["hetero_fusion_block"]
         st = blk.get("spatial_transform", cfg.get("spatial_transform", {}))
@@ -490,6 +624,7 @@ class HeteroFusion(nn.Module):
             compute_dtype=blk.get("compute_dtype", "float32"),
             use_pallas=blk.get("use_pallas", True),
             use_stripe=blk.get("use_stripe", True),
+            use_fused_wa=blk.get("use_fused_wa", False),
         )
         pair_mask = pairwise_roi_mask(
             pairwise, agent_mask, x.shape[2:4],
@@ -504,7 +639,7 @@ class HeteroFusion(nn.Module):
             last = it == n_iters - 1
             x = block(x, mode, pairwise, agent_mask, deterministic,
                       pair_mask, receivers=1 if (last and ego_only)
-                      else None, static_modes=static_modes)
+                      else None, static_modes=static_modes, sp=sp)
         ego = x[:, :1]  # (B, 1, H, W, C)
         ego = HeteroFeedForward(blk["input_dim"], num_types=2,
                                 name="mlp_head")(

@@ -292,6 +292,51 @@ def stage_fusion(compute_dtype="float32", l=L, static: bool = False,
     print(f"fusion 2-iter L={l}{tag} {compute_dtype}: {ms:.2f} ms")
 
 
+def stage_fused_wa(dtype=jnp.bfloat16, l=4, r=None):
+    """Fused warp+attention kernel vs the split Pallas pair it replaces
+    (pallas_pair_warp -> stripe_window_attention), at production shapes:
+    timing A/B + max-abs-diff (expected: bit-identical)."""
+    from hmvit_tpu.ops.fused_warp import pallas_pair_warp
+    from hmvit_tpu.ops.fused_warp_attention import warp_window_attention
+    from hmvit_tpu.ops.window_attention import stripe_window_attention
+
+    key = jax.random.key(9)
+    ks = jax.random.split(key, 4)
+    n_recv = l if r is None else r
+    src = jax.random.normal(ks[0], (B, 2, l, H, W, 2 * C), dtype)
+    q = jax.random.normal(ks[1], (B * n_recv, H, W, C), dtype)
+    mask = (jax.random.uniform(ks[2], (B * n_recv, l, H, W))
+            > 0.1).astype(dtype)
+    bias = jax.random.normal(ks[3], (HEADS, WIN * WIN, WIN * WIN),
+                             dtype) * 0.1
+    pair = rand_pairwise(key, l=l)
+    mode = jnp.asarray(np.arange(l)[None] % 2)
+
+    @jax.jit
+    def split(q, src, pair, mode, mask, bias):
+        kv_pair = pallas_pair_warp(src, pair, mode, 0.4, 4.0,
+                                   num_receivers=r)
+        return stripe_window_attention(
+            q, kv_pair.reshape(B * n_recv, l, H, W, 2 * C), bias, mask,
+            win=WIN, heads=HEADS, dim_head=D)
+
+    @jax.jit
+    def fused(q, src, pair, mode, mask, bias):
+        return warp_window_attention(q, src, pair, mode, mask, bias,
+                                     WIN, HEADS, D, 0.4, 4.0,
+                                     num_receivers=r)
+
+    a = split(q, src, pair, mode, mask, bias)
+    bt = fused(q, src, pair, mode, mask, bias)
+    diff = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                 - bt.astype(jnp.float32))))
+    ms_split = timeit(split, q, src, pair, mode, mask, bias, iters=10)
+    ms_fused = timeit(fused, q, src, pair, mode, mask, bias, iters=10)
+    tag = f"L={l}" + (f" R={r}" if r else "")
+    print(f"warp+attn {tag} {np.dtype(dtype).name}: split {ms_split:.2f}"
+          f" ms, fused {ms_fused:.2f} ms, max|diff|={diff:.3e}")
+
+
 def stage_expand(dtype=jnp.bfloat16, n_nz=40000, clouds=2, c=64):
     """Dense-tail isolation A/B: compacted rows -> (clouds*512^2, C).
 
@@ -350,6 +395,9 @@ STAGES = {
     "pairwarp": lambda: (stage_pairwarp(jnp.bfloat16, l=4),
                          stage_pairwarp(jnp.bfloat16, l=5)),
     "expand": lambda: (stage_expand(jnp.bfloat16),),
+    "fused_wa": lambda: (stage_fused_wa(jnp.bfloat16, l=4),
+                         stage_fused_wa(jnp.bfloat16, l=4, r=1),
+                         stage_fused_wa(jnp.bfloat16, l=5)),
 }
 
 
