@@ -22,6 +22,7 @@ def write_mini_opv2v(
     max_points: int = 4096,
     seed: int = 0,
     min_separation: float = 0.0,
+    area: float = 30.0,
 ) -> None:
     rng = np.random.default_rng(seed)
     try:
@@ -31,7 +32,7 @@ def write_mini_opv2v(
 
     for s in range(num_scenarios):
         vehicles, poses = synthetic.make_scene(
-            rng, num_agents=num_cavs, num_vehicles=num_vehicles, area=30.0,
+            rng, num_agents=num_cavs, num_vehicles=num_vehicles, area=area,
             min_separation=min_separation,
         )
         scen_dir = os.path.join(root, f"scenario_{s:02d}")

@@ -32,13 +32,21 @@ def make_scene(
     vehicles = np.zeros((num_vehicles, 7))
     if min_separation > 0:
         centers = np.empty((0, 2))
+        sep = float(min_separation)
+        attempts = 0
         while len(centers) < num_vehicles:
             cand = rng.uniform(-area, area, (1, 2))
             if len(centers) == 0 or (
-                np.linalg.norm(centers - cand, axis=1).min()
-                >= min_separation
+                np.linalg.norm(centers - cand, axis=1).min() >= sep
             ):
                 centers = np.concatenate([centers, cand])
+            else:
+                # infeasible packings (too many vehicles for the area)
+                # would loop forever; relax gradually instead
+                attempts += 1
+                if attempts >= 2000:
+                    sep *= 0.9
+                    attempts = 0
         vehicles[:, 0] = centers[:, 0]
         vehicles[:, 1] = centers[:, 1]
     else:

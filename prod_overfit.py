@@ -38,15 +38,28 @@ def main(argv=None):
     p.add_argument("--max_points", type=int, default=30000)
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--num_cavs", type=int, default=4)
+    p.add_argument("--grid", type=int, default=512,
+                   help="pillar grid side (512 = production; smaller "
+                        "values shrink every spatial dim proportionally "
+                        "for the gated slow test, keeping the identical "
+                        "remat+bf16+decode code path)")
+    p.add_argument("--fp32", action="store_true",
+                   help="disable bf16-AMP (XLA:CPU on some hosts has no "
+                        "bf16 dot thunk; the CPU test lane runs the same "
+                        "graph at fp32 — bf16 evidence is the TPU run)")
     p.add_argument("--log", default="prod_overfit_log.jsonl")
     args = p.parse_args(argv)
 
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # persistent compile cache for the TPU only: CPU AOT artifacts are
+    # machine-feature-specific and fail to load across hosts (the test
+    # lane runs this script on CPU where compiles are cheap anyway)
+    if jax.default_backend() != "cpu":
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     import tempfile
 
@@ -67,6 +80,24 @@ def main(argv=None):
     from hmvit_tpu.utils import evaluation as E
     from hmvit_tpu.utils.boxes import boxes_to_corners_3d
 
+    import copy
+
+    # --grid scales every spatial dim off the production config so the
+    # gated slow test (tests/test_prod_overfit.py) exercises the exact
+    # remat + bf16-AMP + real-loader + decode->NMS->AP path at a size a
+    # CPU can train; --grid 512 is the production run recorded in
+    # PERF.md.
+    grid = args.grid
+    half_range = grid * 0.4 / 2.0
+    lidar_range = [-half_range, -half_range, -3.0,
+                   half_range, half_range, 1.0]
+    cfg = copy.deepcopy(PROD_CFG)
+    cfg["lidar"]["lidar_range"] = lidar_range
+    cfg["lidar"]["point_pillar_scatter"]["grid_size"] = [grid, grid, 1]
+    cfg["camera"]["bev_size"] = max(grid // 4, 8)
+    cfg["camera"]["bev_range"] = half_range
+    assert lidar_range == PROD_RANGE or grid != 512
+
     root = tempfile.mkdtemp(prefix="prod_overfit_opv2v_")
     # min_separation keeps GT vehicles from interpenetrating (rotated
     # NMS would merge them and cap the achievable AP below the target —
@@ -74,14 +105,15 @@ def main(argv=None):
     write_mini_opv2v(root, num_scenarios=1, num_cavs=args.num_cavs,
                      num_frames=2, image_size=args.image_size,
                      max_points=min(args.max_points, 16384),
-                     min_separation=8.0)
+                     min_separation=min(8.0, half_range * 0.35),
+                     area=min(30.0, half_range * 0.7))
 
     params_ds = {
         "train_params": {"max_cav": 5},
         "camera_to_lidar_ratio": 0.5,
         "ego_mode": "lidar",
         "preprocess": {
-            "cav_lidar_range": PROD_RANGE,
+            "cav_lidar_range": lidar_range,
             "args": {"camera_preprocess": {
                 "args": {"resize_x": args.image_size,
                          "resize_y": args.image_size}}}},
@@ -92,9 +124,9 @@ def main(argv=None):
                                   max_points=args.max_points)
     frames = [ds[i] for i in range(len(ds))]  # fixed modality draw
 
-    anchor_args = {"W": 512, "H": 512, "l": 3.9, "w": 1.6, "h": 1.56,
+    anchor_args = {"W": grid, "H": grid, "l": 3.9, "w": 1.6, "h": 1.56,
                    "r": [0, 90], "num": 2, "feature_stride": 4,
-                   "vw": 0.4, "vh": 0.4, "cav_lidar_range": PROD_RANGE}
+                   "vw": 0.4, "vh": 0.4, "cav_lidar_range": lidar_range}
     pp_cfg = {"anchor_args": anchor_args,
               "target_args": {"pos_threshold": 0.6,
                               "neg_threshold": 0.45,
@@ -115,7 +147,12 @@ def main(argv=None):
         batches.append({k: jnp.asarray(v) for k, v in b.items()
                         if k not in ("object_ids", "to_ego")})
 
-    cfg = dict(PROD_CFG, remat=True)
+    cfg["remat"] = True
+    if args.fp32:
+        for sub in ("lidar", "camera", "hetero_decoder"):
+            cfg.get(sub, {}).pop("compute_dtype", None)
+        cfg["hetero_fusion"]["hetero_fusion_block"][
+            "compute_dtype"] = "float32"
     model = HMViT(cfg)
     tx = optax.adamw(args.lr)
     state = create_train_state(model, tx, batches[0],
@@ -124,7 +161,7 @@ def main(argv=None):
                    jax.tree_util.tree_leaves(state.params))
     print(f"model: {n_params/1e6:.1f} M params; "
           f"device: {jax.devices()[0].device_kind}", flush=True)
-    step_fn = make_train_step(model, tx, half=True)
+    step_fn = make_train_step(model, tx, half=not args.fp32)
     fwd = jax.jit(lambda st, b: model.apply(
         {"params": st.params, "batch_stats": st.batch_stats},
         b, train=False))
