@@ -1,4 +1,5 @@
 from .mesh import (  # noqa: F401
+    audit_tp_sharding,
     make_hybrid_mesh,
     make_mesh,
     make_sharded_eval,

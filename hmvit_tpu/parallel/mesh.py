@@ -120,6 +120,34 @@ def shard_state_tp(state, mesh: Mesh):
     )
 
 
+def audit_tp_sharding(params, mp: int):
+    """Guard against silent fallback-to-replication (renamed modules no
+    longer matching the path-suffix TP rules).
+
+    INTENT is derived from the tree structure, independently of the
+    rule name lists: every rank-3 HeteroDense kernel under the fusion
+    trunk (the stacked (T, din, dout) typed projections/FFNs) with an
+    mp-divisible din or dout is supposed to be tensor-parallel.
+    Returns (sharded_paths, silent_misses); callers assert no misses.
+    """
+    hit, miss = [], []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        pstr = jax.tree_util.keystr(path)
+        if "'fusion'" not in pstr or "'kernel'" not in pstr:
+            continue
+        shape = getattr(leaf, "shape", ())
+        if len(shape) != 3:  # relation matrices, norms, biases
+            continue
+        if shape[-1] % mp and shape[-2] % mp:
+            continue  # indivisible: replication is the correct outcome
+        spec = getattr(getattr(leaf, "sharding", None), "spec", ())
+        if "model" in str(spec):
+            hit.append(pstr)
+        else:
+            miss.append(pstr)
+    return hit, miss
+
+
 def make_spatial_eval(model, mesh: Mesh, axis: str = "model"):
     """Spatially-partitioned batched inference (SP): per-agent BEV maps
     sharded on their H axis over ``axis``, batch over 'data'.
@@ -129,10 +157,14 @@ def make_spatial_eval(model, mesh: Mesh, axis: str = "model"):
     the layout through window attention / warp / decoder, inserting the
     halo collectives on ICI — single-frame latency and BEV grids beyond
     one chip's HBM scale with the mesh.  Inputs/outputs stay batch-
-    sharded; only internals are spatially split.  (The Pallas fusion
-    kernels are not GSPMD-partitionable — configure the fusion block
-    with ``use_pallas: False`` for SP runs; the XLA path is numerically
-    the oracle anyway.)"""
+    sharded; only internals are spatially split.  The Pallas fusion
+    kernels run inside an explicit shard_map island (hetero_fusion
+    ``use_sp_island``): local destination-row warps over the
+    all-gathered sender K/V + per-shard stripe attention — numerically
+    identical to the unsharded kernels
+    (tests/test_trainer_sharding.py::test_spatial_eval_pallas_island).
+    Map geometries the island does not support (h % (32 * shards) != 0)
+    fall back to the XLA oracle path under GSPMD automatically."""
     hint_sh = NamedSharding(mesh, P(None, None, axis))
 
     def hint(x):
@@ -146,7 +178,8 @@ def make_spatial_eval(model, mesh: Mesh, axis: str = "model"):
 
     return jax.jit(
         lambda variables, batch: model.apply(
-            variables, batch, train=False, shard_hint=hint),
+            variables, batch, train=False, shard_hint=hint,
+            sp=(mesh, axis)),
         in_shardings=(replicated(mesh), batch_sharding(mesh)),
         out_shardings=batch_sharding(mesh),
     )
