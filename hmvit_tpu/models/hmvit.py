@@ -109,7 +109,7 @@ class HMViT(nn.Module):
                  active_agents: int | None = None,
                  static_ego_modality: int | None = None,
                  static_modes: tuple | None = None,
-                 shard_hint=None):
+                 shard_hint=None, sp=None):
         """camera_bucket / active_agents are SERVING shape buckets:
 
         - ``active_agents`` statically slices the agent axis to the
@@ -166,20 +166,35 @@ class HMViT(nn.Module):
         # eval traces are untouched.  Closures keep `train` and
         # `static_modes` out of the traced arguments (they are
         # trace-time constants).
-        remat = bool(cfg.get("remat")) and train
-        if remat:
+        # remat: true -> all three stages; a list (e.g. ["fusion"] or
+        # ["camera", "fusion"]) checkpoints only those stages — the
+        # PERF.md round-4 ablation measures which recomputes actually
+        # pay for their HBM savings.
+        remat_cfg = cfg.get("remat")
+        if remat_cfg is True:
+            remat_stages = {"camera", "lidar", "fusion"}
+        elif remat_cfg:
+            remat_stages = set(remat_cfg)
+        else:
+            remat_stages = set()
+        if not train:
+            remat_stages = set()
+        remat = "fusion" in remat_stages
+
+        if "lidar" in remat_stages:
             def run_lidar(pts, pm):
                 return nn.remat(
                     lambda m, a, b_: m(a, b_, True))(lidar_enc, pts, pm)
+        else:
+            def run_lidar(pts, pm):
+                return lidar_enc(pts, pm, train)
 
+        if "camera" in remat_stages:
             def run_camera(c_, i_, e_):
                 return nn.remat(
                     lambda m, a, b_, d: m(a, b_, d, True))(
                         camera_enc, c_, i_, e_)
         else:
-            def run_lidar(pts, pm):
-                return lidar_enc(pts, pm, train)
-
             def run_camera(c_, i_, e_):
                 return camera_enc(c_, i_, e_, train)
         points = batch["points"].reshape(b * l, *batch["points"].shape[2:])
@@ -278,6 +293,7 @@ class HMViT(nn.Module):
                 ego = fusion(
                     x, mode, pairwise, agent_mask,
                     deterministic=not train, static_modes=static_modes,
+                    sp=sp,
                 )  # (B, H, W, C)
 
         dec = cfg["hetero_decoder"]

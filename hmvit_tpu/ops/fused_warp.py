@@ -168,13 +168,16 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
     return coef, origins, rtype
 
 
-def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
+def _warp_kernel(coef_ref, orig_ref, rtype_ref, rt0_ref, src_ref, out_ref,
                  scratch, sem, *, big_l, precision, tile_e, ts_e, ckc):
     n = pl.program_id(0)
     j = pl.program_id(1)
     txi = pl.program_id(2)
     tyi = pl.program_id(3)
     cki = pl.program_id(4)
+    # SP: absolute destination row tile = local tile + shard offset
+    # (origins are pre-sliced to the local row window host-side)
+    tyi_abs = tyi + rt0_ref[0]
     # linear program index; rightmost grid dim iterates fastest
     nn, nj = pl.num_programs(0), pl.num_programs(1)
     nx, ny = pl.num_programs(2), pl.num_programs(3)
@@ -228,9 +231,9 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
     # dst coordinates (2D iotas: TPU requires >=2D)
     xs_row = ((txi * tile_e).astype(jnp.float32)
               + jax.lax.broadcasted_iota(jnp.int32, (1, tile_e), 1).astype(jnp.float32))
-    ys_row = ((tyi * tile_e).astype(jnp.float32)
+    ys_row = ((tyi_abs * tile_e).astype(jnp.float32)
               + jax.lax.broadcasted_iota(jnp.int32, (1, tile_e), 1).astype(jnp.float32))
-    ys_col = ((tyi * tile_e).astype(jnp.float32)
+    ys_col = ((tyi_abs * tile_e).astype(jnp.float32)
               + jax.lax.broadcasted_iota(jnp.int32, (tile_e, 1), 0).astype(jnp.float32))
     cells = jax.lax.broadcasted_iota(jnp.int32, (ts_e, 1), 0).astype(jnp.float32)
     cells_row = jax.lax.broadcasted_iota(jnp.int32, (1, ts_e), 1).astype(jnp.float32)
@@ -289,7 +292,7 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
         # identity pair (i == j and co-located agents): the destination
         # tile IS a source sub-tile — one VMEM copy, no matmuls.
         # dy/dx are 8-aligned (origins are 8-aligned, tile edges are 32)
-        dy = tyi * tile_e - o_h
+        dy = tyi_abs * tile_e - o_h
         dx = txi * tile_e - o_w
         out_ref[0, 0] = scratch[slot,
                                 pl.ds(pl.multiple_of(dy, 8), tile_e),
@@ -309,11 +312,14 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, src_ref, out_ref,
 
 
 @partial(jax.jit, static_argnames=("discrete_ratio", "downsample_rate",
-                                   "interpret", "num_receivers"))
+                                   "interpret", "num_receivers",
+                                   "dest_row_tiles"))
 def pallas_pair_warp(src_typed, pairwise, mode,
                      discrete_ratio: float, downsample_rate: float,
                      interpret: bool = False,
-                     num_receivers: int | None = None):
+                     num_receivers: int | None = None,
+                     dest_row_start=None,
+                     dest_row_tiles: int | None = None):
     """Warp typed sender maps into every receiver's frame.
 
     src_typed: (B, TY, J, H, W, Ck) — per-receiver-type sender maps
@@ -324,6 +330,13 @@ def pallas_pair_warp(src_typed, pairwise, mode,
 
     num_receivers restricts the receiver axis to the first I agents
     (e.g. I=1 for the ego-only final fusion phase); senders stay full.
+
+    dest_row_start/dest_row_tiles restrict the DESTINATION to a window
+    of row tiles [start, start + tiles) of the full map — the SP
+    (spatial partitioning) hook: inside a shard_map each shard computes
+    only its local H slice of the warped output while reading the full
+    (all-gathered) source.  start is a traced (1,) int32 array (e.g.
+    ``axis_index * tiles``); tiles is static.  Output H = tiles * 32.
     """
     bsz, ty_count, l, h, w, ck = src_typed.shape
     tile_e, ts_e, ckc = _tiling(h, ck)
@@ -342,9 +355,19 @@ def pallas_pair_warp(src_typed, pairwise, mode,
         rtype = rtype.reshape(bsz, l)[:, :n_recv].reshape(-1)
     n = bsz * n_recv
 
+    if dest_row_tiles is None:
+        yt_out = yt
+        rt0 = jnp.zeros((1,), jnp.int32)
+    else:
+        yt_out = int(dest_row_tiles)
+        rt0 = jnp.asarray(dest_row_start, jnp.int32).reshape(1)
+        origins = jax.lax.dynamic_slice_in_dim(origins, rt0[0], yt_out,
+                                               axis=3)
+    h_out = yt_out * tile_e
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # coef, origins, rtype
-        grid=(n, l, xt, yt, ck // ckc),
+        num_scalar_prefetch=4,  # coef, origins, rtype, rt0
+        grid=(n, l, xt, yt_out, ck // ckc),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 1, tile_e, tile_e, ckc),
@@ -363,12 +386,13 @@ def pallas_pair_warp(src_typed, pairwise, mode,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, l, h, w, ck), src_typed.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, l, h_out, w, ck),
+                                       src_typed.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(coef, origins, rtype, src_typed)
-    return out.reshape(bsz, n_recv, l, h, w, ck)
+    )(coef, origins, rtype, rt0, src_typed)
+    return out.reshape(bsz, n_recv, l, h_out, w, ck)
 
 
 def pair_warp_xla(src_typed, pairwise, mode, discrete_ratio,

