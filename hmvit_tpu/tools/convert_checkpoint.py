@@ -66,10 +66,13 @@ class StateDict:
         return key in self.raw
 
     def unused(self) -> list[str]:
-        # num_batches_tracked carries no information for inference
+        # num_batches_tracked / relative_position_index carry no
+        # information (BN step counters; constant index tables we
+        # recompute host-side)
+        skip = ("num_batches_tracked", "relative_position_index")
         return sorted(
             k for k in self.raw
-            if k not in self.used and not k.endswith("num_batches_tracked")
+            if k not in self.used and not k.endswith(skip)
         )
 
 
@@ -338,10 +341,86 @@ def convert_cvt_module(sd: StateDict, prefix: str = "cvm") -> dict:
     return {"params": p, "batch_stats": s}
 
 
+# ---------------------------------------------------------------------
+# H3GAT hetero-fusion trunk
+# ---------------------------------------------------------------------
+def _stacked_linear(sd: StateDict, fmt: str, n_types: int = 2) -> dict:
+    """Per-type torch Linears -> one stacked HeteroDense
+    {kernel (T, din, dout), bias (T, dout)}."""
+    ks = [sd.take(fmt.format(t) + ".weight").T for t in range(n_types)]
+    bs = [sd.take(fmt.format(t) + ".bias") for t in range(n_types)]
+    return {"kernel": np.stack(ks), "bias": np.stack(bs)}
+
+
+def _hetero_ln(sd: StateDict, p: str, n_types: int = 2) -> dict:
+    """Reference HeteroLayerNorm (per-type nn.LayerNorm under .net.{t})
+    -> stacked {scale (T, c), bias (T, c)}."""
+    return {"scale": np.stack([sd.take(f"{p}.net.{t}.weight")
+                               for t in range(n_types)]),
+            "bias": np.stack([sd.take(f"{p}.net.{t}.bias")
+                              for t in range(n_types)])}
+
+
+def _hetero_ffn(sd: StateDict, p: str, n_types: int = 2) -> dict:
+    """Reference HeteroFeedForward (.net.{t} = Sequential[Linear, GELU,
+    Dropout, Linear, Dropout]) -> {HeteroDense_0, HeteroDense_1}."""
+    return {"HeteroDense_0": _stacked_linear(sd, p + ".net.{}.0", n_types),
+            "HeteroDense_1": _stacked_linear(sd, p + ".net.{}.3", n_types)}
+
+
+def _hetero_attn(sd: StateDict, p: str, n_types: int = 2) -> dict:
+    """Reference HeteroAttention -> HeteroWindowAttention params.
+
+    relation_msg convention: the reference applies W^T v
+    (hetero_fusion.py:263); ours applies W v — transposed on import
+    (same mapping the golden parity test uses)."""
+    return {
+        "to_q": _stacked_linear(sd, p + ".q_linears.{}", n_types),
+        "to_k": _stacked_linear(sd, p + ".k_linears.{}", n_types),
+        "to_v": _stacked_linear(sd, p + ".v_linears.{}", n_types),
+        # a_linears are Sequential[Linear, Dropout]
+        "to_out": _stacked_linear(sd, p + ".a_linears.{}.0", n_types),
+        "relation_att": sd.take(f"{p}.relation_att"),
+        "relation_msg": np.swapaxes(
+            sd.take(f"{p}.relation_msg"), -1, -2),
+        "rel_pos_bias": sd.take(
+            f"{p}.relative_position_bias_table.weight"),
+    }
+
+
+def convert_hetero_fusion(sd: StateDict,
+                          prefix: str = "fusion_net") -> dict:
+    """Reference HeteroFusion trunk (the H3GAT core of
+    bevformer_point_pillar_hetero.py:22-49: one shared
+    HeteroFusionBlock iterated num_iters times + mlp_head) ->
+    models/hetero_fusion.HeteroFusion variables.  Graft into a full
+    HMViT tree at the 'fusion' key (train/checkpointing.graft_subtree).
+
+    The reference's ``aggregate_fc`` is parallel-architect-mode-only
+    and is left unconsumed for sequential checkpoints (reported)."""
+    blk = f"{prefix}.hetero_fusion_block"
+    params = {
+        "HeteroFusionBlock_0": {
+            "window_norm": _hetero_ln(sd, f"{blk}.window_norm"),
+            "window_attn": _hetero_attn(sd, f"{blk}.window_attention"),
+            "window_ffn_norm": _hetero_ln(sd, f"{blk}.window_ffd.norm"),
+            "window_ffn": _hetero_ffn(sd, f"{blk}.window_ffd.fn"),
+            "grid_norm": _hetero_ln(sd, f"{blk}.grid_norm"),
+            "grid_attn": _hetero_attn(sd, f"{blk}.grid_attention"),
+            "grid_ffn_norm": _hetero_ln(sd, f"{blk}.grid_ffd.norm"),
+            "grid_ffn": _hetero_ffn(sd, f"{blk}.grid_ffd.fn"),
+        },
+        "mlp_head": _hetero_ffn(sd, f"{prefix}.mlp_head"),
+    }
+    return {"params": params, "batch_stats": {}}
+
+
 CONVERTERS = {
     "point_pillar": lambda sd, margs, prefix: convert_point_pillar(sd, margs),
     "fax": lambda sd, margs, prefix: convert_fax_module(sd, prefix or "fax"),
     "cvt": lambda sd, margs, prefix: convert_cvt_module(sd, prefix or "cvm"),
+    "hetero_fusion": lambda sd, margs, prefix: convert_hetero_fusion(
+        sd, prefix or "fusion_net"),
 }
 
 

@@ -305,3 +305,98 @@ def test_cli_writes_restorable_orbax_checkpoint(tmp_path):
     assert len(flat_r) == len(flat_w)
     for a, b in zip(flat_r, flat_w):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hetero_fusion_checkpoint_round_trip(tmp_path):
+    """H3GAT trunk: the reference HeteroFusion (fusion_net.* keys of
+    bevformer_point_pillar_hetero-style checkpoints) -> our stacked
+    HeteroFusion variables; ego outputs equal on identity transforms
+    (where the reference's warp and ours coincide exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.hetero_fusion import HeteroFusion
+
+    _install_reference()
+    from opencood.models.base_transformer import (
+        HeteroFeedForward as RefHFF,
+    )
+    from opencood.models.sub_modules.hetero_fusion import (
+        HeteroFusionBlock as RefBlock,
+    )
+
+    class RefHeteroFusion(torch.nn.Module):
+        """Structural stand-in for the reference HeteroFusion wrapper
+        (bevformer_point_pillar_hetero.py:22-49 — importing the real
+        class pulls the whole BEVFormerWrapper dependency chain):
+        IDENTICAL child names/state_dict keys (hetero_fusion_block,
+        mlp_head) and the same iterate-then-ego-mlp forward."""
+
+        def __init__(self, config):
+            super().__init__()
+            self.hetero_fusion_block = RefBlock(
+                config["hetero_fusion_block"])
+            self.num_iters = config["num_iters"]
+            dim = config["hetero_fusion_block"]["input_dim"]
+            self.mlp_head = RefHFF(dim, dim, 0)
+
+        def forward(self, x, pairwise_t_matrix, mode, record_len, mask):
+            for _ in range(self.num_iters):
+                x = self.hetero_fusion_block(x, pairwise_t_matrix, mode,
+                                             record_len, mask)
+            x = x[:, 0, ...].permute(0, 2, 3, 1)
+            x = self.mlp_head(x.unsqueeze(1), mode[:, :1]).squeeze(
+                1).permute(0, 3, 1, 2)
+            return x
+
+    torch.manual_seed(15)
+    B, L, H, W, C = 1, 3, 16, 16, 32
+    WIN, DH = 4, 8
+    ref_cfg = {
+        "spatial_transform": {"downsample_rate": 1,
+                              "voxel_size": [1.0, 1.0, 4.0]},
+        "hetero_fusion_block": {
+            "input_dim": C, "mlp_dim": C, "agent_size": L,
+            "window_size": WIN, "drop_out": 0.0, "dim_head": DH,
+            "architect_mode": "sequential",
+            "spatial_transform": {"downsample_rate": 1,
+                                  "voxel_size": [1.0, 1.0, 4.0]}},
+        "num_iters": 2,
+    }
+    ref = RefHeteroFusion(ref_cfg).eval()
+
+    class Container(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fusion_net = ref
+
+    ckpt = _save_reference_ckpt(Container().eval(), tmp_path, epoch=9)
+    variables, unused = convert(ckpt, "hetero_fusion")
+    # aggregate_fc is parallel-architect-mode-only (dead weight in
+    # sequential checkpoints) — the only keys allowed to stay
+    assert all("aggregate_fc" in k for k in unused), unused
+
+    rng = np.random.default_rng(15)
+    x = rng.normal(size=(B, L, H, W, C)).astype(np.float32)
+    mode = np.array([[1, 0, 1]])
+    ident = np.tile(np.eye(4, dtype=np.float32), (B, L, L, 1, 1))
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(x.transpose(0, 1, 4, 2, 3)),
+            torch.from_numpy(ident),
+            torch.from_numpy(mode),
+            torch.tensor([L]),
+            torch.ones(B, L),
+        ).numpy()  # (B, C, H, W)
+
+    ours = HeteroFusion(ref_cfg)
+    args = (jnp.asarray(x), jnp.asarray(mode), jnp.asarray(ident),
+            jnp.ones((B, L)))
+    ours.init(jax.random.key(5), *args)
+    import jax as _jax
+
+    variables = {k: _jax.tree_util.tree_map(jnp.asarray, v)
+                 for k, v in variables.items()}
+    got = np.asarray(ours.apply(variables, *args))  # (B, H, W, C)
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               atol=2e-4, rtol=2e-4)
