@@ -151,8 +151,10 @@ def gen_opv2v():
     fams = {
         "point_pillar": (PILLAR_VOXEL, "load_point_pillar_params"),
         "voxelnet": ([0.4, 0.4, 0.4], "load_voxel_params"),
-        "second": ([0.4, 0.4, 0.4], "load_voxel_params"),
-        "pixor": ([0.4, 0.4, 0.8], "load_voxel_params"),
+        # SECOND's z chain (sparse_backbone_3d.py: 41 -> 21 -> 11 -> 5
+        # -> 2) needs the reference's voxel z = 0.1 over the 4 m range;
+        # xy stay 0.4 for the TPU-friendly 512^2 grid
+        "second": ([0.4, 0.4, 0.1], "load_voxel_params"),
     }
     core = {"voxelnet": "voxel_net"}
     for fam, (voxel, parser) in fams.items():
@@ -162,21 +164,76 @@ def gen_opv2v():
         if fam != "point_pillar":
             largs["grid_size"] = grid
             largs["vfe_filters"] = 32
+        stride = 4
+        if fam == "second":
+            # reference second hypes: MeanVFE cap 5, BaseBEVBackbone
+            # [5, 5] on the 256-ch height-compressed map, stride 8
+            largs.pop("vfe_filters")
+            largs["max_points_per_voxel"] = 5
+            largs["base_bev_backbone"] = {
+                "layer_nums": [5, 5], "layer_strides": [1, 2],
+                "num_filters": [128, 256], "upsample_strides": [1, 2],
+                "num_upsample_filter": [256, 256]}
+            largs.pop("shrink_header", None)
+            stride = 8
         for mode, ds in (("early_fusion", "EarlyFusionDataset"),
                          ("late_fusion", "LateFusionDataset")):
             model = {"core_method": cm,
                      "args": {"anchor_number": 2, "lidar": largs}}
-            write("opv2v", f"{fam}_{mode}",
-                  base(f"{fam}_{mode}", model, DET_LOSS, parser, ds,
-                       voxel=voxel))
+            cfg = base(f"{fam}_{mode}", model, DET_LOSS, parser, ds,
+                       voxel=voxel)
+            cfg["postprocess"] = postprocess_block(RANGE, stride)
+            write("opv2v", f"{fam}_{mode}", cfg)
         inter = {"core_method": f"{cm}_intermediate",
                  "args": {"anchor_number": 2, "lidar": largs,
                           "spatial_transform": {
                               "downsample_rate": 4,
                               "voxel_size": voxel}}}
-        write("opv2v", f"{fam}_intermediate_fusion",
-              base(f"{fam}_intermediate_fusion", inter, DET_LOSS, parser,
-                   voxel=voxel))
+        cfg = base(f"{fam}_intermediate_fusion", inter, DET_LOSS, parser,
+                   voxel=voxel)
+        cfg["postprocess"] = postprocess_block(RANGE, stride)
+        write("opv2v", f"{fam}_intermediate_fusion", cfg)
+    gen_pixor()
+
+
+def gen_pixor():
+    """Anchor-free PIXOR family (round-3 format: BevPostprocessor dense
+    label grid, pixor_loss, the reference's 0.2 m / 704x160 BEV raster;
+    reference: opencood/hypes_yaml/opv2v/pixor_late_fusion.yaml)."""
+    rng = [-160.0, -40.0, -3.0, 160.0, 40.0, 1.0]
+    voxel = [0.2, 0.2, 0.2]
+    post = {
+        "core_method": "BevPostprocessor",
+        "nms_thresh": 0.15,
+        "anchor_args": {"cav_lidar_range": rng, "res": 0.2,
+                        "downsample_rate": 4},
+        "target_args": {"score_threshold": 0.5},
+        "order": "lwh", "max_num": 100,
+    }
+    loss = {"core_method": "pixor_loss",
+            "args": {"alpha": 1.0, "beta": 1.0}}
+    for mode, ds in (("early_fusion", "EarlyFusionDataset"),
+                     ("late_fusion", "LateFusionDataset"),
+                     ("intermediate_fusion", "IntermediateFusionDataset")):
+        cm = "pixor_intermediate" if mode == "intermediate_fusion" \
+            else "pixor"
+        margs = {"use_bn": True, "decode": False}
+        if cm == "pixor_intermediate":
+            margs = dict(margs, spatial_transform={
+                "downsample_rate": 4, "voxel_size": voxel})
+        cfg = base(f"pixor_{mode}", {"core_method": cm, "args": margs},
+                   loss, "load_bev_params", ds, rng=rng, voxel=voxel)
+        cfg["preprocess"]["args"]["res"] = 0.2
+        cfg["preprocess"]["args"]["downsample_rate"] = 4
+        cfg["postprocess"] = post
+        cfg["train_params"]["batch_size"] = 8
+        cfg["train_params"]["epoches"] = 100
+        cfg["optimizer"] = {"core_method": "Adam", "lr": 0.001,
+                            "args": {"eps": 1.0e-10,
+                                     "weight_decay": 0.0001}}
+        cfg["lr_scheduler"] = {"core_method": "Exponential",
+                               "gamma": 0.99}
+        write("opv2v", f"pixor_{mode}", cfg)
 
 
 def gen_opcamera():

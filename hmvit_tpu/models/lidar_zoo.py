@@ -140,27 +140,123 @@ class VoxelNetDetector(nn.Module):
                 "rm": rm.transpose(0, 3, 1, 2)}
 
 
+def mean_voxel_grid(points, points_mask, voxel_size, pc_range, grid,
+                    max_points_per_voxel: int = 5):
+    """MeanVFE scattered dense: per-voxel MEAN of the raw point features
+    (reference: opencood/models/sub_modules/mean_vfe.py:8-30, fed by the
+    SpVoxelPreprocessor with its max_points_per_voxel cap) ->
+    (N, nz, ny, nx, 4).  The cap keeps spconv parity: only the first K
+    points per voxel (input order) enter the mean."""
+    import jax
+
+    grid = tuple(int(g) for g in grid)
+    n_clouds = points.shape[0]
+    info = pillarize(points, points_mask, tuple(voxel_size),
+                     tuple(pc_range), grid,
+                     max_points_per_pillar=max_points_per_voxel)
+    feats = info["points"][:, :4] * info["keep"][:, None]
+    num_cells = n_clouds * grid[0] * grid[1] * (grid[2] if len(grid) > 2
+                                                else 1)
+    sums = jax.ops.segment_sum(feats, info["pillar_id"],
+                               num_segments=num_cells + 1,
+                               indices_are_sorted=True)
+    cnt = jax.ops.segment_sum(info["keep"].astype(feats.dtype),
+                              info["pillar_id"],
+                              num_segments=num_cells + 1,
+                              indices_are_sorted=True)
+    mean = sums[:-1] / jnp.maximum(cnt[:-1, None], 1.0)
+    nx, ny = grid[0], grid[1]
+    nz = grid[2] if len(grid) > 2 else 1
+    return mean.reshape(n_clouds, nz, ny, nx, 4)
+
+
+class VoxelBackbone8x(nn.Module):
+    """Dense analogue of the reference's sparse ``VoxelBackBone8x``
+    (reference: opencood/models/sub_modules/sparse_backbone_3d.py:33-141)
+    with the faithful per-stage conv counts and paddings:
+
+      conv_input (16, k3, p1) -> conv1 (1x subm 16) ->
+      conv2 (spconv s2 p1 -> 32, 2x subm 32) ->
+      conv3 (spconv s2 p1 -> 64, 2x subm 64) ->
+      conv4 (spconv s2, z-pad (0,1,1) -> 64, 2x subm 64) ->
+      conv_out (128, kernel (3,1,1), stride (2,1,1), pad 0)
+
+    spconv's SubMConv3d computes only at active sites; the dense twin
+    computes everywhere (a quality superset — zero cells stay zero
+    through conv_input only until the first BN bias).  Golden sparse-vs-
+    dense parity is therefore impossible without spconv — recorded in
+    PARITY.md.  BN follows spconv blocks: eps 1e-3, momentum 0.01 torch
+    (= 0.99 flax), convs bias-free.  The caller pre-pads z by one cell
+    (the reference's ``sparse_shape = grid[::-1] + [1, 0, 0]``)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def blk(y, ch, stride=(1, 1, 1), pad=1):
+            if isinstance(pad, int):
+                pad = ((pad, pad),) * 3
+            y = nn.Conv(ch, (3, 3, 3), strides=stride, padding=pad,
+                        use_bias=False)(y)
+            y = nn.BatchNorm(use_running_average=not train,
+                             epsilon=1e-3, momentum=0.99)(y)
+            return nn.relu(y)
+
+        x = blk(x, 16)                          # conv_input
+        x = blk(x, 16)                          # conv1
+        x = blk(x, 32, stride=(2, 2, 2))        # conv2
+        x = blk(x, 32)
+        x = blk(x, 32)
+        x = blk(x, 64, stride=(2, 2, 2))        # conv3
+        x = blk(x, 64)
+        x = blk(x, 64)
+        x = blk(x, 64, stride=(2, 2, 2),        # conv4 (z unpadded)
+                pad=((0, 0), (1, 1), (1, 1)))
+        x = blk(x, 64)
+        x = blk(x, 64)
+        # conv_out: z-only downsample to the final 2 z-cells
+        x = nn.Conv(128, (3, 1, 1), strides=(2, 1, 1),
+                    padding=((0, 0), (0, 0), (0, 0)),
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         epsilon=1e-3, momentum=0.99)(x)
+        return nn.relu(x)
+
+
 class SecondDetector(nn.Module):
-    """SECOND: mean-VFE -> dense 3D backbone (8x) -> height compression
-    -> BEV head."""
+    """SECOND (reference: opencood/models/second.py:10-54): MeanVFE ->
+    VoxelBackBone8x (faithful dense analogue) -> HeightCompression
+    (z folded into channels; reference sub_modules/height_compression.py)
+    -> BaseBEVBackbone -> 1x1 anchor heads.
+
+    Config keys: grid_size (nx, ny, nz) with nz sized so the z chain
+    41 -> 21 -> 11 -> 5 -> 2 stays positive (the reference's voxel z is
+    0.1 over the 4 m range -> nz 40); base_bev_backbone mirrors the
+    reference hypes (layer_nums [5, 5], input 256 = 128 x 2 z-cells)."""
     config: dict
     return_features: bool = False
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
+        from .pillar_encoder import BEVBackbone
+
         cfg = self.config
         grid = cfg["grid_size"]
-        vox = VoxelFeatureNet(cfg.get("vfe_filters", 16),
-                              cfg["voxel_size"], cfg["lidar_range"],
-                              grid)(points, points_mask, train)
-        x = Conv3DBNReLU(16)(vox, train)
-        x = Conv3DBNReLU(32, stride=(2, 2, 2))(x, train)
-        x = Conv3DBNReLU(64, stride=(2, 2, 2))(x, train)
-        x = Conv3DBNReLU(64, stride=(2, 2, 2))(x, train)
-        n, nz, ny, nx, c = x.shape
-        bev = x.transpose(0, 2, 3, 1, 4).reshape(n, ny, nx, nz * c)
-        bev = ConvBNReLU(256)(bev, train)
-        bev = ConvBNReLU(256)(bev, train)
+        vox = mean_voxel_grid(points, points_mask, cfg["voxel_size"],
+                              cfg["lidar_range"], grid,
+                              cfg.get("max_points_per_voxel", 5))
+        # the reference's sparse_shape appends one z cell
+        vox = jnp.pad(vox, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        x = VoxelBackbone8x()(vox, train)
+        bev = fold_z_to_channels(x)
+        bb = cfg.get("base_bev_backbone", {
+            "layer_nums": [5, 5], "layer_strides": [1, 2],
+            "num_filters": [128, 256], "upsample_strides": [1, 2],
+            "num_upsample_filter": [256, 256]})
+        bev = BEVBackbone(
+            layer_nums=bb["layer_nums"],
+            layer_strides=bb["layer_strides"],
+            num_filters=bb["num_filters"],
+            upsample_strides=bb["upsample_strides"],
+            num_upsample_filters=bb["num_upsample_filter"])(bev, train)
         if self.return_features:
             return bev
         psm, rm = DetectionHead(cfg.get("anchor_number", 2))(bev)

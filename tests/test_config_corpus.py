@@ -54,6 +54,10 @@ def shrink(params):
         # faithful VoxelNet CML (s2/VALID-z/s2) needs nz >= 5 to not
         # collapse; anchor-free pixor needs nx, ny divisible by 16
         voxel[2] = 0.4 if core.startswith("voxel_net") else 2.0
+    if core.startswith("second"):
+        # faithful VoxelBackbone8x z chain (25 -> 13 -> 7 -> 3 -> 1)
+        # needs nz >= 24
+        voxel[2] = 4.0 / 24.0
     lp["voxel_size"] = voxel
     if core.startswith("pixor"):
         p["preprocess"]["args"]["res"] = 0.64
@@ -83,6 +87,14 @@ def shrink(params):
             la["grid_size"] = grid
         if "vfe_filters" in la:
             la["vfe_filters"] = 8
+        if core.startswith("second"):
+            # the faithful SECOND trunk already downsamples 8x; its BEV
+            # backbone keeps the reference's two-stage [1, 2] strides
+            la["base_bev_backbone"] = {
+                "layer_nums": [1, 1], "layer_strides": [1, 2],
+                "num_filters": [16, 16], "upsample_strides": [1, 2],
+                "num_upsample_filter": [16, 16]}
+            la.pop("shrink_header", None)
     if "hetero_fusion" in margs:
         margs["hetero_fusion"] = {
             "num_iters": 1,
