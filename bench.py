@@ -172,6 +172,15 @@ def main(iters: int = 20, max_cav: int = 5, num_agents: int = 4,
     out = forward(variables, batch)  # compile + warm
     sync(out)
 
+    trace_dir = os.environ.get("BENCH_TRACE_DIR", "")
+    if trace_dir:
+        # capture a short xplane trace of the warmed serving loop for
+        # tools/profile.py (the "profile the real frame" workflow)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(4):
+                out = forward(variables, batch)
+            sync(out)
+
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, batch)
