@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.compile  # compile-heavy: full lane only
+
 torch = pytest.importorskip("torch")
 
 from test_fax_ref_parity import (  # noqa: E402

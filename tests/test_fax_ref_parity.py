@@ -10,6 +10,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.compile  # compile-heavy: full lane only
+
 torch = pytest.importorskip("torch")
 
 from test_reference_parity import (  # noqa: E402

@@ -8,6 +8,8 @@ import pytest
 
 from hmvit_tpu.ops.fused_warp import pair_warp_xla, pallas_pair_warp
 
+pytestmark = pytest.mark.compile  # compile-heavy: full lane only
+
 B, L, H, W, CK = 1, 3, 64, 64, 128
 
 

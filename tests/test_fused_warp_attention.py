@@ -19,6 +19,8 @@ from hmvit_tpu.ops.fused_warp_attention import (
 from hmvit_tpu.ops.window_attention import stripe_window_attention
 from test_fused_warp import rigid_pairwise
 
+pytestmark = pytest.mark.compile  # compile-heavy: full lane only
+
 B, L, H, W = 1, 3, 64, 64
 HEADS, D = 2, 16
 C = HEADS * D

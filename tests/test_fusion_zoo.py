@@ -45,6 +45,7 @@ MODULES = [
 
 
 @pytest.mark.parametrize("name,factory", MODULES)
+@pytest.mark.compile
 def test_fusion_interface_and_masking(name, factory):
     x, mode, pairwise, agent_mask = make_inputs()
     module = factory()

@@ -200,6 +200,7 @@ def test_hmvit_end_to_end_forward_and_grad():
     assert all(v > 0 for v in groups.values()), groups
 
 
+@pytest.mark.compile
 def test_ego_only_last_iteration_identical():
     """The receiver-restricted final phase must not change the ego
     output: with the same params, ego_only_last True/False agree
@@ -226,6 +227,7 @@ def test_ego_only_last_iteration_identical():
                                    np.asarray(out_ego), atol=1e-6)
 
 
+@pytest.mark.compile
 def test_serving_bucket_matches_run_both():
     """camera_bucket + active_agents serving specialization must produce
     the same output as the run-both-encoders default."""
@@ -290,6 +292,7 @@ def test_serving_bucket_debug_guard():
         jax.block_until_ready(out["psm"])
 
 
+@pytest.mark.compile
 def test_serving_bucket_degenerate_fleets():
     """All-lidar (camera_bucket=0) and all-camera (camera_bucket=L)
     fleets skip the unused encoder yet match the run-both outputs."""
@@ -317,6 +320,7 @@ def test_serving_bucket_degenerate_fleets():
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.compile
 def test_static_modes_match_dynamic():
     """static_modes (trace-time fleet layout -> type-range hetero
     projections, half the FLOPs) must be numerically identical to the

@@ -16,6 +16,7 @@ def smooth_map(rng, n, h, w, c):
                                        "linear"))
 
 
+@pytest.mark.compile
 def test_affine_case_matches_gather_exactly():
     """With h20=h21=0 the homography is affine — both paths sample the
     same bilinear surface on straight axis-parallel paths."""
@@ -30,6 +31,7 @@ def test_affine_case_matches_gather_exactly():
                                atol=1e-5)
 
 
+@pytest.mark.compile
 def test_90deg_swap_branch():
     rng = np.random.default_rng(1)
     src = jnp.asarray(smooth_map(rng, 1, 32, 32, 8))
@@ -96,6 +98,7 @@ def _camera_homographies(rng, n, k):
     return np.stack(hs).reshape(n, k, 3, 3)
 
 
+@pytest.mark.compile
 def test_weighted_reduce_matches_per_hypothesis_warps():
     """warp_projective_reduce == sum_k w_k * warp_projective_mxu_k,
     including the shared-source (rep > 1) layout and fully-invisible

@@ -516,6 +516,7 @@ def _copy_bev_backbone(ref, layer_nums):
     return params, stats
 
 
+@pytest.mark.compile
 def test_base_bev_backbone_matches_reference():
     """BaseBEVBackbone (3 stages, deconv up-fusion, eval BN) with copied
     weights — covers the strided-conv padding alignment and the

@@ -12,6 +12,9 @@ import numpy as np
 from hmvit_tpu.data.synthetic import make_hetero_batch
 from hmvit_tpu.models.hmvit import HMViT
 from tiny_cfg import RANGE, TINY_CFG
+import pytest
+
+pytestmark = pytest.mark.compile  # compile-heavy: full lane only
 
 
 def _tree_paths(t):

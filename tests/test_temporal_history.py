@@ -24,6 +24,7 @@ from hmvit_tpu.models.bevformer import (
 )
 
 from test_planar_lift import pinhole
+import pytest
 
 
 def test_no_history_equals_self_queue():
@@ -51,6 +52,7 @@ def test_no_history_equals_self_queue():
     assert np.abs(np.asarray(out_hist - out_none)).max() > 1e-6
 
 
+@pytest.mark.compile
 def test_encoder_frame_chaining():
     """Video-style chaining: frame t's history feeds frame t+1, the
     reference's forward_test prev_frame_info protocol."""

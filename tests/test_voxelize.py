@@ -2,6 +2,8 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from hmvit_tpu.ops.voxelize import (
     pillar_point_features,
     pillarize,
@@ -122,6 +124,7 @@ def test_scatter_max_places_features():
     assert np.count_nonzero(bev[..., 3]) == 2
 
 
+@pytest.mark.compile
 def test_scan_scatter_matches_segment_max_oracle():
     """The scan+gather dense path == jax.ops.segment_max, randomized."""
     import jax
@@ -191,6 +194,7 @@ def test_expand_kernel_matches_xla_twin():
     assert np.all(got[empty] == 0)
 
 
+@pytest.mark.compile
 def test_expand_v2_kernel_matches_xla_twin():
     """Demand-sized-DMA expansion (v2) vs the searchsorted+gather
     reference, interpret mode: empty blocks, a fully-dense block, a

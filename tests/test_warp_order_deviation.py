@@ -27,6 +27,9 @@ from hmvit_tpu.models.hetero_fusion import (
 )
 from hmvit_tpu.models.layers import hetero_param_gather
 from hmvit_tpu.ops.warp import warp_bev_nhwc
+import pytest
+
+pytestmark = pytest.mark.compile  # compile-heavy: full lane only
 
 B, L, H, W, C = 1, 3, 32, 32, 32
 HEADS, D, WIN = 4, 8, 4

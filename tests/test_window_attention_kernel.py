@@ -11,6 +11,8 @@ from hmvit_tpu.ops.window_attention import (
     plain_window_attention_xla,
 )
 
+pytestmark = pytest.mark.compile  # compile-heavy: full lane only
+
 N, J, W, T, HEADS, D = 2, 3, 4, 16, 4, 8
 C = HEADS * D
 

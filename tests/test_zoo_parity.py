@@ -53,6 +53,7 @@ def _stacked_lin(mods):
             np.stack([m.bias.detach().numpy() for m in mods]))}
 
 
+@pytest.mark.compile
 def test_swap_fusion_matches_reference():
     import jax
     import jax.numpy as jnp
@@ -108,6 +109,7 @@ def test_swap_fusion_matches_reference():
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.compile
 def test_v2vnet_matches_reference():
     import jax
     import jax.numpy as jnp
@@ -154,6 +156,7 @@ def test_v2vnet_matches_reference():
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.compile
 def test_hgt_cav_attention_matches_reference():
     """Per-pixel typed agent attention.  Weight convention: the
     reference applies relation_msg over its FIRST head-dim index
@@ -340,6 +343,7 @@ def test_split_attn_matches_reference():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.compile
 def test_pyramid_window_attention_matches_reference():
     """Full pyramid (2 window sizes + SplitAttn fuse; the reference
     hard-codes SplitAttn(256))."""
