@@ -40,6 +40,13 @@ from .warp import centered_affine, discretize_transform
 # _tiling's measurements for why the 64/104 + channel-chunk variant lost.
 TILE = 32
 TS = 56
+# resident-map variant support edge: (TILE-1)*sqrt(2) + 2 interp taps +
+# 16-alignment slack (bf16 VMEM sublane tiles are 16 rows; a 16-aligned
+# dynamic slice is a layout no-op, an 8-aligned one is a repack shuffle)
+TS_RES = 64
+# resident variant gate: two double-buffered full-map slots must fit
+# VMEM comfortably (v5e has 128 MB; leave room for out blocks + temps)
+RES_VMEM_CAP = 70 * 1024 * 1024
 
 
 def _tiling(h: int, ck: int):
@@ -58,7 +65,7 @@ def _tiling(h: int, ck: int):
 
 
 def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
-                  tile=TILE, ts=TS):
+                  tile=TILE, ts=TS, align=8):
     """Host/XLA-side geometry: per (b, i, j) post-swap affine coefficients
     and per-tile PHYSICAL source-tile origins.
 
@@ -149,12 +156,15 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
     min_col = jnp.where(jnp.isfinite(min_col), min_col, 0.0)
     min_row = jnp.where(jnp.isfinite(min_row), min_row, 0.0)
 
-    # origins 8-aligned (TPU sublane tiling constrains dynamic DMA
-    # offsets); ts absorbs support + interp taps + alignment slack (<=7)
+    # origins align-aligned (TPU sublane tiling constrains dynamic DMA /
+    # VMEM-slice offsets); ts absorbs support + interp taps + alignment
+    # slack (<= align-1)
     orow_in = jnp.clip(
-        ((jnp.floor(min_row).astype(jnp.int32) - 2) // 8) * 8, 0, h - ts)
+        ((jnp.floor(min_row).astype(jnp.int32) - 2) // align) * align,
+        0, h - ts)
     ocol_in = jnp.clip(
-        ((jnp.floor(min_col).astype(jnp.int32) - 2) // 8) * 8, 0, w - ts)
+        ((jnp.floor(min_col).astype(jnp.int32) - 2) // align) * align,
+        0, w - ts)
     # physical map origins: when swapped, src_in rows are the map's W
     # axis, so (oH, oW) = (ocol_in, orow_in)
     sw = swap.reshape(-1)[:, None, None]
@@ -166,6 +176,40 @@ def _prep_affines(pairwise, mode, hw, discrete_ratio, downsample_rate,
     rtype = jnp.broadcast_to(mode.astype(jnp.int32)[:, :, None],
                              (b, l, 1)).reshape(b * l)
     return coef, origins, rtype
+
+
+def _two_pass_tile(tile_cr, orow_in, ocol_in, *, m00, m01, tx, v0, v1,
+                   tya, xs_row, ys_row, ys_col, cells, cells_row, dtype,
+                   precision):
+    """tile_cr: (C=TS, R=TS, Ck) — src_in tile with its COLUMN axis
+    leading (Mosaic batched matmuls want batch at dim 0 on both
+    operands).  Returns dst (y', x', Ck)."""
+    # pass 1 along src_in rows: row(c, y') = v1 y' + v0 c + tya
+    ccol = ocol_in.astype(jnp.float32) + cells  # (C, 1)
+    rcoord = v1 * ys_row + v0 * ccol + tya      # (C, T)
+    # hat weights over absolute rows [orow_in, orow_in + TS)
+    rcell = orow_in.astype(jnp.float32) + cells_row  # (1, TS)
+    s1 = jnp.maximum(
+        0.0, 1.0 - jnp.abs(rcoord[:, :, None] - rcell[None])
+    ).astype(dtype)  # (C, T, R)
+    tmp = jax.lax.dot_general(
+        s1, tile_cr, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision).astype(dtype)
+    # tmp: (C, y', ch) -> (y', C, ch) for the batched pass 2
+    tmp_t = jnp.swapaxes(tmp, 0, 1)
+
+    # pass 2 along src_in cols: col(y', x') = m00 x' + m01 y' + tx
+    ccoord = m00 * xs_row + m01 * ys_col + tx
+    ccell = ocol_in.astype(jnp.float32) + cells_row  # (1, TS)
+    s2 = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ccoord[:, :, None] - ccell[None])
+    ).astype(dtype)  # (y', x', C)
+    out = jax.lax.dot_general(
+        s2, tmp_t, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision).astype(dtype)
+    return out  # (y', x', ch)
 
 
 def _warp_kernel(coef_ref, orig_ref, rtype_ref, rt0_ref, src_ref, out_ref,
@@ -249,35 +293,11 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, rt0_ref, src_ref, out_ref,
     tile = scratch[slot]
 
     def two_pass(tile_cr, orow_in, ocol_in):
-        """tile_cr: (C=TS, R=TS, Ck) — src_in tile with its COLUMN axis
-        leading (Mosaic batched matmuls want batch at dim 0 on both
-        operands).  Returns dst (y', x', Ck)."""
-        # pass 1 along src_in rows: row(c, y') = v1 y' + v0 c + tya
-        ccol = ocol_in.astype(jnp.float32) + cells  # (C, 1)
-        rcoord = v1 * ys_row + v0 * ccol + tya      # (C, T)
-        # hat weights over absolute rows [orow_in, orow_in + TS)
-        rcell = orow_in.astype(jnp.float32) + cells_row  # (1, TS)
-        s1 = jnp.maximum(
-            0.0, 1.0 - jnp.abs(rcoord[:, :, None] - rcell[None])
-        ).astype(dtype)  # (C, T, R)
-        tmp = jax.lax.dot_general(
-            s1, tile_cr, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=precision).astype(dtype)
-        # tmp: (C, y', ch) -> (y', C, ch) for the batched pass 2
-        tmp_t = jnp.swapaxes(tmp, 0, 1)
-
-        # pass 2 along src_in cols: col(y', x') = m00 x' + m01 y' + tx
-        ccoord = m00 * xs_row + m01 * ys_col + tx
-        ccell = ocol_in.astype(jnp.float32) + cells_row  # (1, TS)
-        s2 = jnp.maximum(
-            0.0, 1.0 - jnp.abs(ccoord[:, :, None] - ccell[None])
-        ).astype(dtype)  # (y', x', C)
-        out = jax.lax.dot_general(
-            s2, tmp_t, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=precision).astype(dtype)
-        return out  # (y', x', ch)
+        return _two_pass_tile(
+            tile_cr, orow_in, ocol_in, m00=m00, m01=m01, tx=tx, v0=v0,
+            v1=v1, tya=tya, xs_row=xs_row, ys_row=ys_row, ys_col=ys_col,
+            cells=cells, cells_row=cells_row, dtype=dtype,
+            precision=precision)
 
     ident = coef_ref[n, j, 7] > 0.5
 
@@ -311,15 +331,130 @@ def _warp_kernel(coef_ref, orig_ref, rtype_ref, rt0_ref, src_ref, out_ref,
         out_ref[0, 0] = two_pass(tile, o_w, o_h)
 
 
+def _warp_kernel_resident(coef_ref, orig_ref, rtype_ref, pvalid_ref,
+                          rt0_ref, src_ref, out_ref, scratch, sem, *,
+                          big_l, precision, tile_e, ts_e):
+    """Resident-map variant: one full-source-map DMA per (receiver,
+    sender) PAIR (double-buffered across pairs), every destination tile
+    slices its ts_e x ts_e support from the resident VMEM map at
+    16-aligned offsets.  Cuts fetch traffic 3x vs the per-tile variant
+    (each 32x32 dst tile re-fetched a 56x56 source tile -> 3.06x read
+    amplification; the whole map is read ONCE per pair here), at the
+    cost of holding two map slots in VMEM — see RES_VMEM_CAP gate."""
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    txi = pl.program_id(2)
+    tyi = pl.program_id(3)
+    tyi_abs = tyi + rt0_ref[0]
+    nj = pl.num_programs(1)
+    pair = n * nj + j
+    npairs = pl.num_programs(0) * nj
+    slot = jax.lax.rem(pair, 2)
+    first_tile = jnp.logical_and(txi == 0, tyi == 0)
+
+    def start_fetch(pair_idx, slot_idx):
+        j_ = jax.lax.rem(pair_idx, nj)
+        n_ = pair_idx // nj
+
+        # whole-pair ROI skip: no fetch when every tile's support
+        # misses the map (the wait below is skipped symmetrically)
+        @pl.when(pvalid_ref[n_, j_] > 0)
+        def _():
+            pltpu.make_async_copy(
+                src_ref.at[n_ // big_l, rtype_ref[n_], j_],
+                scratch.at[slot_idx], sem.at[slot_idx]).start()
+
+    # pair-level double buffering: the first tile of pair p prefetches
+    # pair p+1's map into the other slot, overlapping p's 16 tiles of
+    # compute; grid programs execute sequentially, so later tiles of p
+    # read the resident slot without re-waiting
+    @pl.when(jnp.logical_and(first_tile, pair == 0))
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(jnp.logical_and(first_tile, pair + 1 < npairs))
+    def _():
+        start_fetch(pair + 1, 1 - slot)
+
+    @pl.when(jnp.logical_and(first_tile, pvalid_ref[n, j] > 0))
+    def _():
+        pltpu.make_async_copy(src_ref.at[0, 0, 0], scratch.at[slot],
+                              sem.at[slot]).wait()
+
+    o_h = orig_ref[n, j, txi, tyi, 0]
+    o_w = orig_ref[n, j, txi, tyi, 1]
+    swap = coef_ref[n, j, 6] > 0.5
+
+    m00, m01, tx = coef_ref[n, j, 0], coef_ref[n, j, 1], coef_ref[n, j, 2]
+    v0, v1, tya = coef_ref[n, j, 3], coef_ref[n, j, 4], coef_ref[n, j, 5]
+
+    dtype = out_ref.dtype
+    xs_row = ((txi * tile_e).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, tile_e), 1)
+              .astype(jnp.float32))
+    ys_row = ((tyi_abs * tile_e).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, tile_e), 1)
+              .astype(jnp.float32))
+    ys_col = ((tyi_abs * tile_e).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.int32, (tile_e, 1), 0)
+              .astype(jnp.float32))
+    cells = jax.lax.broadcasted_iota(jnp.int32, (ts_e, 1), 0).astype(
+        jnp.float32)
+    cells_row = jax.lax.broadcasted_iota(jnp.int32, (1, ts_e), 1).astype(
+        jnp.float32)
+
+    valid = orig_ref[n, j, txi, tyi, 2] > 0
+    ident = coef_ref[n, j, 7] > 0.5
+
+    def two_pass(tile_cr, orow_in, ocol_in):
+        return _two_pass_tile(
+            tile_cr, orow_in, ocol_in, m00=m00, m01=m01, tx=tx, v0=v0,
+            v1=v1, tya=tya, xs_row=xs_row, ys_row=ys_row, ys_col=ys_col,
+            cells=cells, cells_row=cells_row, dtype=dtype,
+            precision=precision)
+
+    @pl.when(jnp.logical_not(valid))
+    def _():
+        out_ref[0, 0] = jnp.zeros(out_ref.shape[2:], out_ref.dtype)
+
+    @pl.when(valid & ident)
+    def _():
+        # identity pair: the destination tile IS a source sub-tile at
+        # 32-aligned (hence 16-aligned) map coordinates
+        out_ref[0, 0] = scratch[
+            slot,
+            pl.ds(pl.multiple_of(tyi_abs * tile_e, 16), tile_e),
+            pl.ds(pl.multiple_of(txi * tile_e, 16), tile_e), :]
+
+    @pl.when(valid & jnp.logical_not(ident) & jnp.logical_not(swap))
+    def _():
+        # src_in = map orientation (rows H, cols W): the column-leading
+        # operand is the transposed support slice
+        sub = scratch[slot,
+                      pl.ds(pl.multiple_of(o_h, 16), ts_e),
+                      pl.ds(pl.multiple_of(o_w, 16), ts_e), :]
+        out_ref[0, 0] = two_pass(jnp.swapaxes(sub, 0, 1), o_h, o_w)
+
+    @pl.when(valid & jnp.logical_not(ident) & swap)
+    def _():
+        # conditioning swap: src_in is the transposed map — the slice
+        # as stored IS column-leading
+        sub = scratch[slot,
+                      pl.ds(pl.multiple_of(o_h, 16), ts_e),
+                      pl.ds(pl.multiple_of(o_w, 16), ts_e), :]
+        out_ref[0, 0] = two_pass(sub, o_w, o_h)
+
+
 @partial(jax.jit, static_argnames=("discrete_ratio", "downsample_rate",
                                    "interpret", "num_receivers",
-                                   "dest_row_tiles"))
+                                   "dest_row_tiles", "variant"))
 def pallas_pair_warp(src_typed, pairwise, mode,
                      discrete_ratio: float, downsample_rate: float,
                      interpret: bool = False,
                      num_receivers: int | None = None,
                      dest_row_start=None,
-                     dest_row_tiles: int | None = None):
+                     dest_row_tiles: int | None = None,
+                     variant: str = "auto"):
     """Warp typed sender maps into every receiver's frame.
 
     src_typed: (B, TY, J, H, W, Ck) — per-receiver-type sender maps
@@ -337,13 +472,31 @@ def pallas_pair_warp(src_typed, pairwise, mode,
     only its local H slice of the warped output while reading the full
     (all-gathered) source.  start is a traced (1,) int32 array (e.g.
     ``axis_index * tiles``); tiles is static.  Output H = tiles * 32.
+
+    variant: 'tile' = per-dst-tile 56x56 source fetches; 'resident' =
+    one full-map DMA per (receiver, sender) pair, dst tiles slice VMEM
+    (3x less fetch traffic, needs the map to fit two VMEM slots).
+    'auto' = tile: the round-4 v5e A/B measured resident SLOWER at
+    production shapes (4.81 vs 4.56 ms standalone, bit-identical
+    outputs) — the kernel is matmul-ISSUE-bound (~12 us/valid tile vs
+    ~4 us of DMA), so cutting fetch bytes 3x bought nothing and the
+    big-buffer dynamic slices + 64-wide supports cost ~5%.  Kept as a
+    validated experiment + record (PERF.md round-4 verdict).
     """
     bsz, ty_count, l, h, w, ck = src_typed.shape
     tile_e, ts_e, ckc = _tiling(h, ck)
+    if variant == "auto":
+        variant = "tile"
+    if variant == "resident":
+        fits = 2 * h * w * ck * src_typed.dtype.itemsize <= RES_VMEM_CAP
+        if not (fits and h == w and h >= TS_RES and h % tile_e == 0):
+            variant = "tile"
+    if variant == "resident":
+        ts_e = TS_RES
     assert h == w and h % tile_e == 0 and h >= ts_e, (h, w)
     coef, origins, rtype = _prep_affines(
         pairwise, mode, (h, w), discrete_ratio, downsample_rate,
-        tile_e, ts_e)
+        tile_e, ts_e, align=16 if variant == "resident" else 8)
     xt, yt = w // tile_e, h // tile_e
     n_recv = l if num_receivers is None else num_receivers
     if n_recv != l:
@@ -365,6 +518,37 @@ def pallas_pair_warp(src_typed, pairwise, mode,
                                                axis=3)
     h_out = yt_out * tile_e
 
+    precision = (jax.lax.Precision.HIGHEST
+                 if src_typed.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    if variant == "resident":
+        pvalid = (origins[..., 2].sum(axis=(2, 3)) > 0).astype(jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # coef, origins, rtype, pvalid, rt0
+            grid=(n, l, xt, yt_out),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 1, tile_e, tile_e, ck),
+                lambda n, j, txi, tyi, *_: (n, j, tyi, txi, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, h, w, ck), src_typed.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = partial(_warp_kernel_resident, big_l=n_recv,
+                         precision=precision, tile_e=tile_e, ts_e=ts_e)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n, l, h_out, w, ck),
+                                           src_typed.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
+            interpret=interpret,
+        )(coef, origins, rtype, pvalid, rt0, src_typed)
+        return out.reshape(bsz, n_recv, l, h_out, w, ck)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # coef, origins, rtype, rt0
         grid=(n, l, xt, yt_out, ck // ckc),
@@ -378,9 +562,6 @@ def pallas_pair_warp(src_typed, pairwise, mode,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    precision = (jax.lax.Precision.HIGHEST
-                 if src_typed.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
     kernel = partial(_warp_kernel, big_l=n_recv, precision=precision,
                      tile_e=tile_e, ts_e=ts_e, ckc=ckc)
     out = pl.pallas_call(

@@ -168,23 +168,30 @@ def _plain_kernel(q_ref, kv_ref, bias_ref, mask_ref, out_ref, *,
     j = n_senders
 
     q = q_ref[0].astype(jnp.float32)  # (wb, T, C)
+    # concatenate K/V/mask across senders ONCE: each head then runs a
+    # single (wb, T, d) x (wb, J*T, d) similarity dot with N = J*T
+    # MXU lanes instead of J separate N=T dots (2.5x fewer batched
+    # matmul issues; reduction order per output element is unchanged,
+    # so the results are bit-identical to the per-sender form)
+    # concat in the INPUT dtype (exact), upcast per-head lane slices at
+    # dot time — a full-2C f32 kv_cat overflows the 16 MB scoped VMEM
+    # at J=5 bf16 production shapes
+    kv_cat = jnp.concatenate(
+        [kv_ref[0, jj] for jj in range(j)], axis=1)  # (wb, J*T, 2C)
+    # mask/bias arrive pre-concatenated from the host (tiny tensors;
+    # Mosaic rejects in-kernel concats of lane-offset slices)
+    m_cat = mask_ref[0].astype(jnp.float32)  # (wb, J*T)
     for h in range(heads):
         qh = q[:, :, h * d:(h + 1) * d]  # (wb, T, d)
-        bias_h = bias_ref[h].astype(jnp.float32)  # (T, T)
-        sims = []
-        vs = []
-        for jj in range(j):
-            kh = kv_ref[0, jj, :, :, h * d:(h + 1) * d].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                qh, kh, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # (wb, T, T)
-            m = mask_ref[0, :, jj, :].astype(jnp.float32)  # (wb, T)
-            s = jnp.where(m[:, None, :] > 0, s + bias_h[None], neg)
-            sims.append(s)
-            vs.append(kv_ref[0, jj, :, :,
-                             c + h * d:c + (h + 1) * d].astype(jnp.float32))
-        sim = jnp.concatenate(sims, axis=-1)  # (wb, T, J*T)
-        v_cat = jnp.concatenate(vs, axis=1)   # (wb, J*T, d)
+        bias_cat = bias_ref[h].astype(jnp.float32)  # (T, J*T)
+        kh = kv_cat[:, :, h * d:(h + 1) * d].astype(
+            jnp.float32)  # (wb, J*T, d)
+        sim = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (wb, T, J*T)
+        sim = jnp.where(m_cat[:, None, :] > 0, sim + bias_cat[None], neg)
+        v_cat = kv_cat[:, :, c + h * d:c + (h + 1) * d].astype(
+            jnp.float32)  # (wb, J*T, d)
 
         mx = jnp.max(sim, axis=-1, keepdims=True)
         ex = jnp.exp(sim - mx)
@@ -220,6 +227,11 @@ def plain_window_attention(q, kv, bias, mask, heads: int, dim_head: int,
     kernel = partial(_plain_kernel, heads=heads, dim_head=dim_head,
                      n_senders=j, w_block=w_block)
     wb = w_block
+    # host-side concat layouts: mask (N, W, J*T) in sender-major token
+    # order, bias tiled to (heads, T, J*T) — both tiny; the kernel's
+    # one-dot-per-head form consumes them directly
+    mask_cat = jnp.swapaxes(mask, 1, 2).reshape(n, w_cnt, j * t)
+    bias_cat = jnp.concatenate([bias] * j, axis=-1)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -229,17 +241,18 @@ def plain_window_attention(q, kv, bias, mask, heads: int, dim_head: int,
             pl.BlockSpec((1, j, wb, t, 2 * c),
                          lambda i, wi: (i, 0, wi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, t, t), lambda i, wi: (0, 0, 0),
+            pl.BlockSpec((heads, t, j * t), lambda i, wi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # mask transposed to (N, W, J, T): trailing dims full axes
-            pl.BlockSpec((1, wb, j, t), lambda i, wi: (i, wi, 0, 0),
+            pl.BlockSpec((1, wb, j * t), lambda i, wi: (i, wi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, wb, t, c), lambda i, wi: (i, wi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, w_cnt, t, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(q, kv, bias, jnp.swapaxes(mask, 1, 2))
+    )(q, kv, bias_cat, mask_cat)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -351,23 +364,28 @@ def _stripe_kernel(q_ref, kv_ref, bias_ref, mask_ref, out_ref, *,
     nw = h // win
 
     q = q_ref[0].astype(jnp.float32).reshape(nw, t, c)
+    # sender concat hoisted out of the head loop — one N=J*T similarity
+    # dot per head (see _plain_kernel; bit-identical reduction order)
+    # upcast BEFORE the (H, win, C) -> (nw, T, C) regroup: in bf16 the
+    # win=8 sublane collapse is a genuine register repack (half a
+    # (16, 128) tile — the round-3 stripe lesson); in fp32 the sublane
+    # tile is exactly 8 and the collapse is free.  The f32 kv_cat costs
+    # VMEM (hence the raised vmem_limit) but keeps the regroups free.
+    kv_cat = jnp.concatenate(
+        [kv_ref[0, jj].astype(jnp.float32).reshape(nw, t, 2 * c)
+         for jj in range(j)], axis=1)  # (nw, J*T, 2C)
+    # mask/bias pre-concatenated host-side (Mosaic rejects in-kernel
+    # concats of lane-offset slices)
+    m_cat = mask_ref[0, 0].astype(jnp.float32)  # (nw, J*T)
     for hh in range(heads):
         qh = q[:, :, hh * d:(hh + 1) * d]  # (nw, T, d)
-        bias_h = bias_ref[hh].astype(jnp.float32)  # (T, T)
-        sims = []
-        vs = []
-        for jj in range(j):
-            kvj = kv_ref[0, jj].astype(jnp.float32).reshape(nw, t, 2 * c)
-            kh = kvj[:, :, hh * d:(hh + 1) * d]
-            s = jax.lax.dot_general(
-                qh, kh, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # (nw, T, T)
-            m = mask_ref[0, jj, 0].astype(jnp.float32)  # (nw, T)
-            s = jnp.where(m[:, None, :] > 0, s + bias_h[None], neg)
-            sims.append(s)
-            vs.append(kvj[:, :, c + hh * d:c + (hh + 1) * d])
-        sim = jnp.concatenate(sims, axis=-1)  # (nw, T, J*T)
-        v_cat = jnp.concatenate(vs, axis=1)   # (nw, J*T, d)
+        bias_cat = bias_ref[hh].astype(jnp.float32)  # (T, J*T)
+        kh = kv_cat[:, :, hh * d:(hh + 1) * d]  # (nw, J*T, d)
+        sim = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (nw, T, J*T)
+        sim = jnp.where(m_cat[:, None, :] > 0, sim + bias_cat[None], neg)
+        v_cat = kv_cat[:, :, c + hh * d:c + (hh + 1) * d]
 
         mx = jnp.max(sim, axis=-1, keepdims=True)
         ex = jnp.exp(sim - mx)
@@ -400,13 +418,15 @@ def stripe_window_attention(q, kv, bias, mask, win: int, heads: int,
     assert h % win == 0 and w % win == 0
     stripes = w // win
     nw, t = h // win, win * win
-    # (N, J, H, W) -> (N, J, stripes, nw, T): stripe si's windows in
-    # token order — a cheap repack of a small tensor, shaped so the
-    # kernel reads each stripe's (nw, T) mask directly (no in-kernel
-    # reshape, no dynamic sublane slice)
+    # (N, J, H, W) -> (N, stripes, nw, J*T): stripe si's windows in
+    # sender-major concatenated token order — a cheap repack of a small
+    # tensor, shaped so the kernel reads each stripe's (nw, J*T) mask
+    # directly (no in-kernel concat, no dynamic sublane slice)
     mask_s = jnp.moveaxis(
         mask.reshape(n, j, nw, win, stripes, win), 4, 2
     ).reshape(n, j, stripes, nw, t)
+    mask_cat = jnp.moveaxis(mask_s, 1, 3).reshape(n, stripes, nw, j * t)
+    bias_cat = jnp.concatenate([bias] * j, axis=-1)  # (heads, T, J*T)
     grid = (n, stripes)
     kernel = partial(_stripe_kernel, heads=heads, dim_head=dim_head,
                      n_senders=j, win=win)
@@ -419,19 +439,21 @@ def stripe_window_attention(q, kv, bias, mask, win: int, heads: int,
             pl.BlockSpec((1, j, h, win, 2 * c),
                          lambda i, si: (i, 0, 0, si, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, win * win, win * win),
+            pl.BlockSpec((heads, win * win, j * win * win),
                          lambda i, si: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, 1, nw, t),
-                         lambda i, si: (i, 0, si, 0, 0),
+            pl.BlockSpec((1, 1, nw, j * t),
+                         lambda i, si: (i, si, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, win, c),
                                lambda i, si: (i, 0, si, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(q, kv, bias, mask_s)
+    )(q, kv, bias_cat, mask_cat)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

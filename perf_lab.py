@@ -239,8 +239,10 @@ def stage_backbone(compute_dtype="float32", img=512):
     print(f"resnet50 x20@{img} {compute_dtype}: {ms:.2f} ms")
 
 
-def stage_pairwarp(dtype=jnp.bfloat16, l=L):
+def stage_pairwarp(dtype=jnp.bfloat16, l=L, variant="tile", r=None):
     """Pallas fused pair warp kernel alone (typed K/V, all receivers)."""
+    from functools import partial
+
     from hmvit_tpu.ops.fused_warp import pallas_pair_warp
 
     key = jax.random.key(7)
@@ -248,12 +250,15 @@ def stage_pairwarp(dtype=jnp.bfloat16, l=L):
     pair = rand_pairwise(key, l=l)
     mode = jnp.asarray(np.arange(l)[None] % 2)
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=())
     def run(kv, pair, mode):
-        return pallas_pair_warp(kv, pair, mode, 0.4, 4.0)
+        return pallas_pair_warp(kv, pair, mode, 0.4, 4.0,
+                                num_receivers=r, variant=variant)
 
     ms = timeit(run, kv, pair, mode, iters=10)
-    print(f"pallas_pair_warp L={l} {np.dtype(dtype).name}: {ms:.2f} ms")
+    print(f"pallas_pair_warp L={l} R={r or l} {np.dtype(dtype).name} "
+          f"[{variant}]: {ms:.2f} ms")
+    return np.asarray(run(kv, pair, mode))
 
 
 def stage_fusion(compute_dtype="float32", l=L, static: bool = False,
@@ -394,6 +399,11 @@ STAGES = {
                                        stripe=True),),
     "pairwarp": lambda: (stage_pairwarp(jnp.bfloat16, l=4),
                          stage_pairwarp(jnp.bfloat16, l=5)),
+    "pairwarp_res": lambda: [
+        np.testing.assert_array_equal(
+            stage_pairwarp(jnp.bfloat16, l=lv, variant="resident", r=rv),
+            stage_pairwarp(jnp.bfloat16, l=lv, variant="tile", r=rv))
+        for lv, rv in ((4, None), (5, None), (4, 1))],
     "expand": lambda: (stage_expand(jnp.bfloat16),),
     "fused_wa": lambda: (stage_fused_wa(jnp.bfloat16, l=4),
                          stage_fused_wa(jnp.bfloat16, l=4, r=1),

@@ -26,8 +26,9 @@ def rigid_pairwise(rng, b=B, l=L, max_t=8.0):
     return np.einsum("bixy,bjyz->bjixz", minv, m).astype(np.float32)
 
 
+@pytest.mark.parametrize("variant", ["tile", "resident"])
 @pytest.mark.parametrize("seed,max_t", [(0, 5.0), (1, 20.0), (2, 2.0)])
-def test_kernel_matches_xla_oracle(seed, max_t):
+def test_kernel_matches_xla_oracle(seed, max_t, variant):
     rng = np.random.default_rng(seed)
     src = jnp.asarray(rng.normal(size=(B, 2, L, H, W, CK))
                       .astype(np.float32))
@@ -35,7 +36,7 @@ def test_kernel_matches_xla_oracle(seed, max_t):
     mode = jnp.asarray(rng.integers(0, 2, (B, L)))
     want = np.asarray(pair_warp_xla(src, pair, mode, 1.0, 1.0))
     got = np.asarray(pallas_pair_warp(src, pair, mode, 1.0, 1.0,
-                                      interpret=True))
+                                      interpret=True, variant=variant))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
@@ -99,8 +100,13 @@ def test_kernel_large_map():
     mode = jnp.asarray([[0, 1]])
     want = np.asarray(pair_warp_xla(src, pair, mode, 0.4, 4.0))
     got = np.asarray(pallas_pair_warp(src, pair, mode, 0.4, 4.0,
-                                      interpret=True))
+                                      interpret=True, variant="tile"))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+    # resident-map variant: same tiles computed from a whole-map VMEM
+    # fetch per pair must be BIT-identical to the per-tile fetches
+    res = np.asarray(pallas_pair_warp(src, pair, mode, 0.4, 4.0,
+                                      interpret=True, variant="resident"))
+    np.testing.assert_array_equal(res, got)
 
 
 def test_kernel_roi_tile_skip():
@@ -120,8 +126,13 @@ def test_kernel_roi_tile_skip():
     mode = jnp.asarray([[0, 1, 0]])
     want = np.asarray(pair_warp_xla(src, pair, mode, 1.0, 1.0))
     got = np.asarray(pallas_pair_warp(src, pair, mode, 1.0, 1.0,
-                                      interpret=True))
+                                      interpret=True, variant="tile"))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+    # resident variant: the fully-disjoint pair takes the WHOLE-PAIR
+    # fetch skip (pvalid=0) and must still be bit-identical
+    res = np.asarray(pallas_pair_warp(src, pair, mode, 1.0, 1.0,
+                                      interpret=True, variant="resident"))
+    np.testing.assert_array_equal(res, got)
     # receiver 0 <- sender 2: disjoint, every tile skipped -> all zero
     assert np.all(got[0, 0, 2] == 0.0)
     # receiver 0 <- sender 1: the far corner quadrant is out of support
