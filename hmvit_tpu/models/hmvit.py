@@ -265,9 +265,11 @@ class HMViT(nn.Module):
             # maps' H axis to a mesh axis (parallel/mesh.py
             # make_spatial_eval) and GSPMD propagates the layout through
             # fusion + decoder — single-frame latency and BEV grids
-            # beyond one chip's HBM scale across chips.  (The Pallas
-            # warp/attention kernels are not GSPMD-partitionable; the
-            # caller disables use_pallas under SP.)
+            # beyond one chip's HBM scale across chips.  The Pallas
+            # warp/attention kernels are not GSPMD-partitionable, so
+            # under SP the fusion block runs them inside an explicit
+            # shard_map island (hetero_fusion.py `use_sp_island`);
+            # non-conforming geometries fall back to the XLA path.
             x = shard_hint(x)
         x = x * agent_mask[:, :, None, None, None]
 
