@@ -1,0 +1,331 @@
+"""Reference-faithful BEVFormer camera trunk (checkpoint-portable twin).
+
+The flagship's camera branch in the reference is the mmdet3d BEVFormer
+run under ``only_bev`` (reference: opencood/models/bevformer_wrapper.py:
+9-94; plugin path opencood/models/mmdet3d_plugin/bevformer/modules/
+{transformer,encoder,temporal_self_attention,spatial_cross_attention}.py
+with the mmcv config opencood/hypes_yaml/opcl/subbevformer_resnet.py:
+ResNet50 C5 -> single-level FPN -> 3 post-norm encoder layers of
+TemporalSelfAttention + SpatialCrossAttention(MSDeformableAttention3D) +
+FFN over a 128^2 learned BEV query grid).  This module is the
+TRANSCRIPTION-LEVEL structural twin of exactly that path so the
+reference's ``net_epoch%d.pth`` camera subtree ports key-for-key
+(tools/convert_checkpoint.py ``--core_method
+bevformer_point_pillar_hetero``); the redesigned planar-lift encoder
+(models/bevformer.py) stays the serving default.
+
+Faithfulness notes (each pinned by tests/test_flagship_import.py):
+- post-norm operation order ('self_attn','norm','cross_attn','norm',
+  'ffn','norm'), residuals inside each attention (mmcv convention);
+- TSA conditions offsets/weights on ``cat([value[:bs], query+bev_pos])``
+  where ``value`` is the 2-slot queue INTERLEAVED over batch — at bs>1
+  ``value[:bs]`` mixes batch rows; the reference runs all camera agents
+  as one batch, so the quirk is live and is transcribed as-is
+  (temporal_self_attention.py:180-198);
+- SCA gates the per-camera query set by BATCH 0's visibility mask
+  (``bev_mask[i][0]``) while normalizing by each batch's own camera
+  count (spatial_cross_attention.py:137-172) — also transcribed;
+- the wrapper's UE4->OpenCV flip matrix carries the extra
+  ``flip_matrix[..., 1, 1] = -1`` entry (bevformer_wrapper.py:52-59);
+- ResNet50 uses torch's (1,1)/(3,3) stride-2 padding grid
+  (``torch_padding=True``), not XLA 'SAME'.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.sampling import ms_deform_attn
+from .resnet import ResNetEncoder
+
+
+def lidar2img_ref(intrinsics, extrinsics):
+    """(N, M, 3, 3) intrinsics + (N, M, 4, 4) cam->agent extrinsics ->
+    (N, M, 4, 4) agent->image projections, with the reference wrapper's
+    exact UE4->OpenCV flip including its [1,1] = -1 quirk
+    (bevformer_wrapper.py:37-63)."""
+    cav2cam = jnp.linalg.inv(extrinsics.astype(jnp.float32))
+    flip = jnp.array([[0.0, 1.0, 0.0, 0.0],
+                      [0.0, -1.0, -1.0, 0.0],
+                      [1.0, 0.0, 0.0, 0.0],
+                      [0.0, 0.0, 0.0, 1.0]], jnp.float32)
+    n, m = intrinsics.shape[:2]
+    intr = jnp.zeros((n, m, 4, 4), jnp.float32)
+    intr = intr.at[..., :3, :3].set(intrinsics.astype(jnp.float32))
+    intr = intr.at[..., 3, 3].set(1.0)
+    return intr @ (flip @ cav2cam)
+
+
+def _reference_points_3d(bev_h, bev_w, num_points_in_pillar, z_extent):
+    """Normalized 3D pillar reference points, (D, H*W, 3) in [0, 1]
+    (encoder.py get_reference_points dim='3d')."""
+    d = num_points_in_pillar
+    zs = (jnp.linspace(0.5, z_extent - 0.5, d) / z_extent)
+    xs = (jnp.linspace(0.5, bev_w - 0.5, bev_w) / bev_w)
+    ys = (jnp.linspace(0.5, bev_h - 0.5, bev_h) / bev_h)
+    # (D, H, W) broadcast, stacked (x, y, z), flattened row-major
+    zz = jnp.broadcast_to(zs[:, None, None], (d, bev_h, bev_w))
+    xx = jnp.broadcast_to(xs[None, None, :], (d, bev_h, bev_w))
+    yy = jnp.broadcast_to(ys[None, :, None], (d, bev_h, bev_w))
+    return jnp.stack([xx, yy, zz], -1).reshape(d, bev_h * bev_w, 3)
+
+
+def _reference_points_2d(bev_h, bev_w):
+    """(H*W, 2) normalized BEV-plane reference points (dim='2d')."""
+    ys = (jnp.linspace(0.5, bev_h - 0.5, bev_h) / bev_h)
+    xs = (jnp.linspace(0.5, bev_w - 0.5, bev_w) / bev_w)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], -1)
+
+
+def point_sampling(ref_3d, pc_range, l2i, img_hw):
+    """Project normalized pillar points into every camera
+    (encoder.py point_sampling, fp32 contract).
+
+    ref_3d: (D, Q, 3); l2i: (N, M, 4, 4); img_hw: (H, W) ints.
+    Returns reference_points_cam (M, N, Q, D, 2) normalized by image
+    size, and bev_mask (M, N, Q, D) bools.
+    """
+    d, q = ref_3d.shape[:2]
+    ref = ref_3d.astype(jnp.float32)
+    ref = jnp.stack([
+        ref[..., 0] * (pc_range[3] - pc_range[0]) + pc_range[0],
+        ref[..., 1] * (pc_range[4] - pc_range[1]) + pc_range[1],
+        ref[..., 2] * (pc_range[5] - pc_range[2]) + pc_range[2],
+    ], -1)
+    hom = jnp.concatenate([ref, jnp.ones((d, q, 1), jnp.float32)], -1)
+    # (D, N, M, Q, 4): x_cam = l2i @ x_hom
+    cam = jnp.einsum("nmij,dqj->dnmqi", l2i.astype(jnp.float32), hom)
+    eps = 1e-5
+    mask = cam[..., 2:3] > eps
+    uv = cam[..., 0:2] / jnp.maximum(cam[..., 2:3], eps)
+    uv = uv / jnp.asarray([img_hw[1], img_hw[0]], jnp.float32)
+    mask = (mask[..., 0]
+            & (uv[..., 1] > 0.0) & (uv[..., 1] < 1.0)
+            & (uv[..., 0] > 0.0) & (uv[..., 0] < 1.0))
+    # (D, N, M, Q, ...) -> (M, N, Q, D, ...)
+    ref_cam = jnp.transpose(uv, (2, 1, 3, 0, 4))
+    bev_mask = jnp.transpose(mask, (2, 1, 3, 0))
+    return ref_cam, bev_mask
+
+
+class RefTemporalSelfAttention(nn.Module):
+    """temporal_self_attention.py:55-273 with num_levels=1 and the
+    history-free queue (prev_bev=None -> value = [query, query])."""
+    dim: int
+    heads: int = 8
+    points: int = 4
+    queue: int = 2
+
+    @nn.compact
+    def __call__(self, query, query_pos, bev_hw):
+        n, q, c = query.shape
+        identity = query
+        qp = query + query_pos
+        # value = stack([query, query], 1).reshape(2n, ...) — batch-
+        # interleaved queue; cond prev-part = value[:n] (the quirk)
+        value = jnp.stack([query, query], 1).reshape(2 * n, q, c)
+        cond = jnp.concatenate([value[:n], qp], -1)
+
+        value = nn.Dense(self.dim, name="value_proj")(value)
+        value = value.reshape(2 * n, q, self.heads,
+                              self.dim // self.heads)
+
+        off = nn.Dense(self.queue * self.heads * self.points * 2,
+                       name="sampling_offsets")(cond)
+        off = off.reshape(n, q, self.heads, self.queue, 1,
+                          self.points, 2)
+        w = nn.Dense(self.queue * self.heads * self.points,
+                     name="attention_weights")(cond)
+        w = jax.nn.softmax(
+            w.reshape(n, q, self.heads, self.queue, self.points), -1)
+
+        # (bs, q, heads, queue, ...) -> (bs*queue interleaved, ...)
+        off = jnp.transpose(off, (0, 3, 1, 2, 4, 5, 6)).reshape(
+            2 * n, q, self.heads, 1, self.points, 2)
+        w = jnp.transpose(w, (0, 3, 1, 2, 4)).reshape(
+            2 * n, q, self.heads, 1, self.points)
+
+        ref = _reference_points_2d(*bev_hw)  # (Q, 2)
+        norm = jnp.asarray([bev_hw[1], bev_hw[0]], jnp.float32)
+        loc = ref[None, :, None, None, None, :] + off / norm
+
+        out = ms_deform_attn(value, [bev_hw], loc, w)  # (2n, Q, C)
+        # interleaved queue mean: rows (b*2, b*2+1) -> batch b
+        out = out.reshape(n, 2, q, c).mean(1)
+        out = nn.Dense(self.dim, name="output_proj")(out)
+        return out + identity
+
+
+class RefSpatialCrossAttention(nn.Module):
+    """spatial_cross_attention.py:30-190 (SCA + MSDeformableAttention3D,
+    num_levels=1), dense-masked equivalent of the per-camera query
+    rebatch: every query runs MSDA3D for every camera, contributions are
+    gated by batch 0's visibility (the reference's ``indexes`` come from
+    ``bev_mask[i][0]``) and normalized by each batch's own camera
+    count."""
+    dim: int
+    heads: int = 8
+    points: int = 8  # num_points of MSDA3D = points-per-pillar * D
+
+    @nn.compact
+    def __call__(self, query, cam_feats, ref_cam, bev_mask, feat_hw):
+        # query: (N, Q, C); cam_feats: (N, M, l, C) (embeds added);
+        # ref_cam: (M, N, Q, D, 2); bev_mask: (M, N, Q, D)
+        n, q, c = query.shape
+        m = cam_feats.shape[1]
+        d = ref_cam.shape[3]
+        p_per = self.points // d
+
+        value = nn.Dense(self.dim, name="value_proj")(cam_feats)
+        value = value.reshape(n * m, -1, self.heads,
+                              self.dim // self.heads)
+
+        off = nn.Dense(self.heads * self.points * 2,
+                       name="sampling_offsets")(query)
+        w = nn.Dense(self.heads * self.points,
+                     name="attention_weights")(query)
+        w = jax.nn.softmax(w.reshape(n, q, self.heads, self.points), -1)
+
+        norm = jnp.asarray([feat_hw[1], feat_hw[0]], jnp.float32)
+        off = off.reshape(n, q, self.heads, self.points, 2) / norm
+        # flat point o = p * D + z  ->  reference z-anchor = o % D
+        off = off.reshape(n, 1, q, self.heads, p_per, d, 2)
+        ref = jnp.transpose(ref_cam, (1, 0, 2, 3, 4))  # (N, M, Q, D, 2)
+        loc = ref[:, :, :, None, None, :, :] + off
+        loc = loc.reshape(n * m, q, self.heads, 1, self.points, 2)
+        wm = jnp.broadcast_to(w[:, None], (n, m, q, self.heads,
+                                           self.points))
+        wm = wm.reshape(n * m, q, self.heads, 1, self.points)
+
+        out = ms_deform_attn(value, [feat_hw], loc, wm)  # (N*M, Q, C)
+        out = out.reshape(n, m, q, c)
+
+        # gate by batch-0 visibility (the reference's rebatch indexes),
+        # normalize by each batch's own visible-camera count
+        gate0 = bev_mask[:, 0].any(-1)  # (M, Q)
+        out = out * gate0[None, :, :, None].astype(out.dtype)
+        slots = out.sum(1)  # (N, Q, C)
+        count = bev_mask.any(-1).astype(jnp.float32)  # (M, N, Q)
+        count = jnp.maximum(count.sum(0).reshape(n, q), 1.0)
+        slots = slots / count[..., None]
+        slots = nn.Dense(self.dim, name="output_proj")(slots)
+        return slots + query
+
+
+class RefBEVFormerLayer(nn.Module):
+    """One post-norm encoder layer (encoder.py BEVFormerLayer,
+    operation_order self_attn/norm/cross_attn/norm/ffn/norm)."""
+    dim: int
+    ffn_dim: int
+    tsa_heads: int = 8
+    tsa_points: int = 4
+    sca_heads: int = 8
+    sca_points: int = 8
+
+    @nn.compact
+    def __call__(self, x, bev_pos, cam_feats, ref_cam, bev_mask,
+                 bev_hw, feat_hw):
+        x = RefTemporalSelfAttention(
+            self.dim, self.tsa_heads, self.tsa_points, name="tsa")(
+            x, bev_pos, bev_hw)
+        x = nn.LayerNorm(name="norm0")(x)
+        x = RefSpatialCrossAttention(
+            self.dim, self.sca_heads, self.sca_points, name="sca")(
+            x, cam_feats, ref_cam, bev_mask, feat_hw)
+        x = nn.LayerNorm(name="norm1")(x)
+        h = nn.Dense(self.ffn_dim, name="ffn_fc1")(x)
+        x = nn.Dense(self.dim, name="ffn_fc2")(nn.relu(h)) + x
+        x = nn.LayerNorm(name="norm2")(x)
+        return x
+
+
+class RefBEVFormer(nn.Module):
+    """(N, M, H, W, 3) images + calib -> (N, bev_h, bev_w, C) BEV,
+    the only_bev path key-for-key (detectors/bevformer.py:69-142 ->
+    dense_heads/bevformer_head.py:132-160 -> transformer.py:
+    get_bev_features -> encoder.py)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, images, intrinsics, extrinsics,
+                 train: bool = False):
+        cfg = self.config
+        dim = cfg.get("dim", 256)
+        bev_h = cfg.get("bev_h", 128)
+        bev_w = cfg.get("bev_w", bev_h)
+        layers = cfg.get("num_layers", 3)
+        d_pillar = cfg.get("num_points_in_pillar", 4)
+        pc_range = cfg.get(
+            "pc_range", [-102.4, -102.4, -5.0, 102.4, 102.4, 3.0])
+        img_shape = tuple(cfg.get("img_shape",
+                                  images.shape[2:4]))  # (H, W)
+        n, m = images.shape[:2]
+
+        feats = ResNetEncoder(
+            arch=cfg.get("backbone", "resnet50"),
+            id_pick=(cfg.get("stage", 4),), torch_padding=True,
+            name="backbone")(
+            images.reshape(n * m, *images.shape[2:]).astype(jnp.float32),
+            train)
+        # single-level FPN: lateral 1x1 + 3x3 output conv
+        feats = nn.Conv(cfg.get("fpn_channels", dim), (1, 1),
+                        name="neck_lateral")(feats)
+        feats = nn.Conv(cfg.get("fpn_channels", dim), (3, 3),
+                        name="neck_fpn")(feats)
+        fh, fw = feats.shape[1:3]
+        cam_feats = feats.reshape(n, m, fh * fw, -1)
+
+        # level / camera embeddings (transformer.py:137-147)
+        cams_embeds = self.param("cams_embeds",
+                                 nn.initializers.normal(1.0), (m, dim))
+        level_embeds = self.param("level_embeds",
+                                  nn.initializers.normal(1.0), (1, dim))
+        cam_feats = (cam_feats + cams_embeds[None, :, None, :]
+                     + level_embeds[0][None, None, None, :])
+
+        # learned BEV queries + positional encoding (bevformer_head.py:
+        # 150-156; mmdet LearnedPositionalEncoding: channels = [col(x)
+        # feats, row(y) feats])
+        bev_embed = self.param("bev_embedding",
+                               nn.initializers.normal(1.0),
+                               (bev_h * bev_w, dim))
+        row = self.param("row_embed", nn.initializers.uniform(1.0),
+                         (bev_h, dim // 2))
+        col = self.param("col_embed", nn.initializers.uniform(1.0),
+                         (bev_w, dim // 2))
+        pos = jnp.concatenate([
+            jnp.broadcast_to(col[None, :, :], (bev_h, bev_w, dim // 2)),
+            jnp.broadcast_to(row[:, None, :], (bev_h, bev_w, dim // 2)),
+        ], -1).reshape(1, bev_h * bev_w, dim)
+
+        l2i = lidar2img_ref(intrinsics, extrinsics)
+        ref_3d = _reference_points_3d(bev_h, bev_w, d_pillar,
+                                      pc_range[5] - pc_range[2])
+        ref_cam, bev_mask = point_sampling(ref_3d, pc_range, l2i,
+                                           img_shape)
+
+        x = jnp.broadcast_to(bev_embed[None], (n, bev_h * bev_w, dim))
+        for i in range(layers):
+            x = RefBEVFormerLayer(
+                dim, cfg.get("ffn_dim", 2 * dim), name=f"layer{i}")(
+                x, pos, cam_feats, ref_cam, bev_mask,
+                (bev_h, bev_w), (fh, fw))
+        return x.reshape(n, bev_h, bev_w, dim)
+
+
+class RefBEVFormerCameraEncoder(nn.Module):
+    """Camera-encoder adapter: matches make_camera_encoder's calling
+    convention (images, intrinsics, extrinsics, train) and the
+    ``camera_encoder`` slot of HMViT.  The reference wrapper returns
+    the BEV as features under set_return_features()
+    (bevformer_wrapper.py:85-86); its NaiveDecoder/heads are dead
+    weight in the flagship and are not instantiated here."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, images, intrinsics, extrinsics,
+                 train: bool = False):
+        return RefBEVFormer(self.config, name="bevformer")(
+            images, intrinsics, extrinsics, train)

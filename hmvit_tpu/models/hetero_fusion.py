@@ -227,10 +227,17 @@ class HeteroWindowAttention(nn.Module):
             sm_idx = np.asarray(static_modes)
             wsel = wkv[:, sm_idx].astype(cdt)   # (ntau, L, C, 2C)
             bsel = bkv[:, sm_idx].astype(cdt)   # (ntau, L, 2C)
-            kv2 = jnp.einsum("bjxyc,tjcf->btjxyf", x, wsel,
+            # fold the bias INTO the matmul as an appended ones channel:
+            # a separate post-cast bias add is a full read+write HBM
+            # pass over the 134 MB kv2 tensor (~0.35 ms/phase, round-5
+            # xplane) while one extra contraction row is ~free on the
+            # MXU (the bias now accumulates in fp32 with the products)
+            ones = jnp.ones((*x.shape[:-1], 1), x.dtype)
+            waug = jnp.concatenate([wsel, bsel[:, :, None, :]], axis=2)
+            kv2 = jnp.einsum("bjxyc,tjcf->btjxyf",
+                             jnp.concatenate([x, ones], -1), waug,
                              preferred_element_type=jnp.float32
                              ).astype(cdt)
-            kv2 = kv2 + bsel[None, :, :, None, None]
         else:
             k = to_k(x, mode)
             v = to_v(x, mode)

@@ -46,6 +46,13 @@ def make_camera_encoder(cfg: dict, name: str = "camera_encoder"):
         from .bevformer import BEVFormerEncoder
 
         return BEVFormerEncoder(cfg, name=name)
+    if kind == "bevformer_ref":
+        # reference-faithful mmdet3d-BEVFormer only_bev twin — the
+        # checkpoint-import target for the flagship's camera trunk
+        # (tools/convert_checkpoint.py bevformer_point_pillar_hetero)
+        from .bevformer_ref import RefBEVFormerCameraEncoder
+
+        return RefBEVFormerCameraEncoder(cfg, name=name)
     if kind in ("vpn", "vpn_ms"):
         from .vpn import ViewParseNetwork
 
@@ -64,6 +71,7 @@ class HeteroDecoder(nn.Module):
     num_ch_dec: tuple
     anchor_number: int
     use_upsample: bool = False
+    bn_eps: float = 1e-3  # reference NaiveDecoder uses torch's 1e-5
 
     @nn.compact
     def __call__(self, x, ego_mode, train: bool = False,
@@ -76,6 +84,7 @@ class HeteroDecoder(nn.Module):
         def cam_branch():
             cam = NaiveDecoder(self.num_layer, self.num_ch_dec,
                                use_upsample=self.use_upsample,
+                               bn_eps=self.bn_eps,
                                name="camera_decoder")(x, train)
             return DetectionHead(self.anchor_number,
                                  name="camera_head")(cam)
@@ -83,6 +92,7 @@ class HeteroDecoder(nn.Module):
         def lid_branch():
             lid = NaiveDecoder(self.num_layer, self.num_ch_dec,
                                use_upsample=self.use_upsample,
+                               bn_eps=self.bn_eps,
                                name="lidar_decoder")(x, train)
             return DetectionHead(self.anchor_number,
                                  name="lidar_head")(lid)
@@ -308,6 +318,7 @@ class HMViT(nn.Module):
             num_layer=dec["num_layer"],
             num_ch_dec=tuple(dec["num_ch_dec"]),
             anchor_number=dec["anchor_number"],
+            bn_eps=dec.get("bn_eps", 1e-3),
         )(ego, mode[:, 0], train, static_ego_modality)
 
         return {"psm": psm.transpose(0, 3, 1, 2),

@@ -25,6 +25,10 @@ class ConvBNReLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     use_bias: bool = False
+    # OpenPCDet-style 1e-3 is the lidar-stack convention; the reference's
+    # NaiveDecoder keeps torch's 1e-5 default (naive_decoder.py:46) —
+    # checkpoint-import paths thread that through bn_eps
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,8 +42,8 @@ class ConvBNReLU(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)),
                     use_bias=self.use_bias)(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         momentum=0.99)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         epsilon=self.bn_eps, momentum=0.99)(x)
         return nn.relu(x)
 
 
@@ -54,16 +58,17 @@ class NaiveDecoder(nn.Module):
     num_layer: int
     num_ch_dec: Sequence[int]
     use_upsample: bool = True
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_layer - 1, -1, -1):
             ch = self.num_ch_dec[i]
-            x = ConvBNReLU(ch)(x, train)
+            x = ConvBNReLU(ch, bn_eps=self.bn_eps)(x, train)
             if self.use_upsample:
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-            x = ConvBNReLU(ch)(x, train)
+            x = ConvBNReLU(ch, bn_eps=self.bn_eps)(x, train)
         return x
 
 

@@ -17,12 +17,15 @@ from flax import linen as nn
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
+    torch_padding: bool = False  # see Bottleneck
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        pad = (((1, 1), (1, 1)) if self.torch_padding and self.stride > 1
+               else "SAME")
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    use_bias=False)(x)
+                    padding=pad, use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), use_bias=False)(y)
@@ -39,15 +42,21 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     features: int
     stride: int = 1
+    # torch pads stride-2 3x3 convs (1, 1); XLA 'SAME' pads (0, 1) at
+    # even sizes — same output shape, half-pixel alignment difference.
+    # The checkpoint-import twins (bevformer_ref) need the torch grid.
+    torch_padding: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        pad = (((1, 1), (1, 1)) if self.torch_padding and self.stride > 1
+               else "SAME")
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    use_bias=False)(y)
+                    padding=pad, use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False)(y)
@@ -75,21 +84,34 @@ class ResNetEncoder(nn.Module):
     array, several return a list (resnet_ms semantics)."""
     arch: str = "resnet34"
     id_pick: Sequence[int] = (3,)
+    # torch-exact stem/stride-2 padding for the checkpoint-import twins
+    # (conv1 pads (3, 3), maxpool (1, 1), block stride-2 convs (1, 1));
+    # default False keeps the established XLA-'SAME' numerics.
+    torch_padding: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block, layout = _ARCH[self.arch]
-        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False)(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)) if self.torch_padding
+                    else "SAME",
+                    use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if self.torch_padding:
+            # torch MaxPool2d(3, 2, padding=1): symmetric -inf padding
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         outs = []
         features = 64
         for stage, n_blocks in enumerate(layout):
             stride = 1 if stage == 0 else 2
             for i in range(n_blocks):
-                x = block(features, stride if i == 0 else 1)(x, train)
+                x = block(features, stride if i == 0 else 1,
+                          torch_padding=self.torch_padding)(x, train)
             outs.append(x)
             features *= 2
 

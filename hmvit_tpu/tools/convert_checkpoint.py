@@ -75,6 +75,40 @@ class StateDict:
             if k not in self.used and not k.endswith(skip)
         )
 
+    def sub(self, prefix: str) -> "StateDict":
+        """A view of this state_dict under ``prefix`` ('' = identity);
+        consumption is recorded on the parent."""
+        if not prefix:
+            return self
+        return _PrefixView(self, prefix)
+
+    def mark_dead(self, prefixes: list[str]) -> list[str]:
+        """Consume every key under the given prefixes without mapping
+        them — for reference submodules that exist in the checkpoint
+        but are DEAD in the forward being ported (e.g. the BEVFormer
+        detection head under only_bev).  Returns the consumed keys."""
+        dead = [k for k in self.raw if not (k in self.used) and any(
+            k == p or k.startswith(p + ".") for p in prefixes)]
+        self.used.update(dead)
+        return sorted(dead)
+
+
+class _PrefixView:
+    """StateDict view that prepends a fixed key prefix."""
+
+    def __init__(self, parent, prefix: str):
+        self._p = parent
+        self._prefix = prefix.rstrip(".") + "."
+
+    def take(self, key: str) -> np.ndarray:
+        return self._p.take(self._prefix + key)
+
+    def has(self, key: str) -> bool:
+        return self._p.has(self._prefix + key)
+
+    def sub(self, prefix: str):
+        return self._p.sub(self._prefix + prefix)
+
 
 def conv(sd: StateDict, p: str) -> dict:
     """torch Conv2d (out, in, kh, kw) -> flax Conv (kh, kw, in, out)."""
@@ -118,15 +152,11 @@ def batchnorm(sd: StateDict, p: str) -> tuple[dict, dict]:
 # ---------------------------------------------------------------------
 # point_pillar: the full lidar detector
 # ---------------------------------------------------------------------
-def convert_point_pillar(sd: StateDict, margs: dict) -> dict:
-    """Reference PointPillar state_dict -> PointPillarDetector variables.
-
-    Key layout being consumed (reference point_pillar.py:9-40):
-      pillar_vfe.pfn_layers.{i}.linear / .norm
-      backbone.blocks.{si}.{1,2,4,5,...} / backbone.deblocks.{si}.{0,1}
-      shrink_conv.layers.{i}.double_conv.{0,2}
-      cls_head / reg_head
-    """
+def convert_point_pillar_encoder(sd, margs: dict) -> tuple[dict, dict]:
+    """Reference PointPillar ENCODER subtree (VFE -> scatter -> BEV
+    backbone -> shrink) -> PointPillarEncoder (params, batch_stats).
+    ``sd`` may be a prefix view (e.g. ``lidar_encoder.`` inside the
+    flagship, reference bevformer_point_pillar_hetero.py:56)."""
     enc_params: dict = {}
     enc_stats: dict = {}
 
@@ -186,7 +216,19 @@ def convert_point_pillar(sd: StateDict, margs: dict) -> dict:
                 "Conv_1": conv(sd, f"{base}.2"),
             }
         enc_params["DownsampleConv_0"] = dc_p
+    return enc_params, enc_stats
 
+
+def convert_point_pillar(sd: StateDict, margs: dict) -> dict:
+    """Reference PointPillar state_dict -> PointPillarDetector variables.
+
+    Key layout being consumed (reference point_pillar.py:9-40):
+      pillar_vfe.pfn_layers.{i}.linear / .norm
+      backbone.blocks.{si}.{1,2,4,5,...} / backbone.deblocks.{si}.{0,1}
+      shrink_conv.layers.{i}.double_conv.{0,2}
+      cls_head / reg_head
+    """
+    enc_params, enc_stats = convert_point_pillar_encoder(sd, margs)
     params = {"PointPillarEncoder_0": enc_params,
               "DetectionHead_0": {"Conv_0": conv(sd, "cls_head"),
                                   "Conv_1": conv(sd, "reg_head")}}
@@ -415,12 +457,243 @@ def convert_hetero_fusion(sd: StateDict,
     return {"params": params, "batch_stats": {}}
 
 
+# ---------------------------------------------------------------------
+# mmdet ResNet + single-level FPN (the BEVFormer image trunk)
+# ---------------------------------------------------------------------
+_RESNET_LAYOUT = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+                  "resnet50": (3, 4, 6, 3)}
+_RESNET_BOTTLENECK = {"resnet18": False, "resnet34": False,
+                      "resnet50": True}
+
+
+def convert_mmdet_resnet(sd, arch: str = "resnet50") -> tuple[dict, dict]:
+    """mmdet/torchvision ResNet state_dict subtree (conv1/bn1/layer{s})
+    -> models/resnet.ResNetEncoder (params, batch_stats).  mmdet's
+    'pytorch'-style ResNet shares torchvision's exact key layout
+    (reference config opencood/hypes_yaml/opcl/subbevformer_resnet.py:
+    24-32)."""
+    p: dict = {"Conv_0": conv(sd, "conv1")}
+    s: dict = {}
+    bnp, bns = batchnorm(sd, "bn1")
+    p["BatchNorm_0"] = bnp
+    s["BatchNorm_0"] = bns
+    bottleneck = _RESNET_BOTTLENECK[arch]
+    blk_name = "Bottleneck" if bottleneck else "BasicBlock"
+    k = 0
+    for stage, n_blocks in enumerate(_RESNET_LAYOUT[arch]):
+        for j in range(n_blocks):
+            base = f"layer{stage + 1}.{j}"
+            bp, bs = {}, {}
+            n_convs = 3 if bottleneck else 2
+            for ci in range(n_convs):
+                bp[f"Conv_{ci}"] = conv(sd, f"{base}.conv{ci + 1}")
+                bnp, bns = batchnorm(sd, f"{base}.bn{ci + 1}")
+                bp[f"BatchNorm_{ci}"] = bnp
+                bs[f"BatchNorm_{ci}"] = bns
+            if sd.has(f"{base}.downsample.0.weight"):
+                bp[f"Conv_{n_convs}"] = conv(sd, f"{base}.downsample.0")
+                bnp, bns = batchnorm(sd, f"{base}.downsample.1")
+                bp[f"BatchNorm_{n_convs}"] = bnp
+                bs[f"BatchNorm_{n_convs}"] = bns
+            p[f"{blk_name}_{k}"] = bp
+            s[f"{blk_name}_{k}"] = bs
+            k += 1
+    return p, s
+
+
+# ---------------------------------------------------------------------
+# BEVFormer camera trunk (only_bev path) -> models/bevformer_ref
+# ---------------------------------------------------------------------
+def convert_bevformer_camera(sd, arch: str = "resnet50") -> dict:
+    """Reference mmdet3d-BEVFormer subtree (img_backbone + img_neck +
+    pts_bbox_head.{bev_embedding, positional_encoding, transformer
+    .encoder/.level_embeds/.cams_embeds}) -> RefBEVFormer variables
+    under the ``bevformer`` module name (models/bevformer_ref.py).
+    ``sd`` is a prefix view rooted at the wrapper's ``bevformer``
+    module (reference bevformer_wrapper.py:15)."""
+    p: dict = {}
+    s: dict = {}
+    bb_p, bb_s = convert_mmdet_resnet(sd.sub("img_backbone"), arch)
+    p["backbone"] = bb_p
+    s["backbone"] = bb_s
+    p["neck_lateral"] = conv(sd, "img_neck.lateral_convs.0.conv")
+    p["neck_fpn"] = conv(sd, "img_neck.fpn_convs.0.conv")
+
+    head = sd.sub("pts_bbox_head")
+    p["bev_embedding"] = head.take("bev_embedding.weight")
+    p["row_embed"] = head.take("positional_encoding.row_embed.weight")
+    p["col_embed"] = head.take("positional_encoding.col_embed.weight")
+    tr = head.sub("transformer")
+    p["level_embeds"] = tr.take("level_embeds")
+    p["cams_embeds"] = tr.take("cams_embeds")
+
+    i = 0
+    while tr.has(f"encoder.layers.{i}.norms.0.weight"):
+        ly = tr.sub(f"encoder.layers.{i}")
+        tsa = ly.sub("attentions.0")
+        sca = ly.sub("attentions.1")
+        p[f"layer{i}"] = {
+            "tsa": {
+                "sampling_offsets": linear(tsa, "sampling_offsets"),
+                "attention_weights": linear(tsa, "attention_weights"),
+                "value_proj": linear(tsa, "value_proj"),
+                "output_proj": linear(tsa, "output_proj"),
+            },
+            "sca": {
+                "sampling_offsets": linear(
+                    sca, "deformable_attention.sampling_offsets"),
+                "attention_weights": linear(
+                    sca, "deformable_attention.attention_weights"),
+                "value_proj": linear(
+                    sca, "deformable_attention.value_proj"),
+                "output_proj": linear(sca, "output_proj"),
+            },
+            "norm0": layernorm(ly, "norms.0"),
+            "norm1": layernorm(ly, "norms.1"),
+            "norm2": layernorm(ly, "norms.2"),
+            # mmcv FFN: layers.0 = Sequential(Linear, ReLU, Dropout),
+            # layers.1 = Linear
+            "ffn_fc1": linear(ly, "ffns.0.layers.0.0"),
+            "ffn_fc2": linear(ly, "ffns.0.layers.1"),
+        }
+        i += 1
+    if i == 0:
+        raise KeyError("no transformer.encoder.layers.* keys found")
+    return {"params": p, "batch_stats": s, "num_layers": i}
+
+
+# ---------------------------------------------------------------------
+# NaiveDecoder / HeteroDecoder -> models/hmvit.HeteroDecoder
+# ---------------------------------------------------------------------
+def _conv_into_bn(sd, conv_key: str, bn_key: str) -> tuple[dict, dict]:
+    """torch [Conv2d(bias=True), BatchNorm2d] -> our bias-free
+    ConvBNReLU: the conv bias is folded into the BN running mean
+    (normalization output is invariant to a constant pre-BN shift, so
+    mean' = mean - bias is exact in both train and eval modes)."""
+    cp = {"Conv_0": {"kernel":
+                     sd.take(f"{conv_key}.weight").transpose(2, 3, 1, 0)}}
+    bias = (sd.take(f"{conv_key}.bias")
+            if sd.has(f"{conv_key}.bias") else 0.0)
+    bnp, bns = batchnorm(sd, bn_key)
+    bns = {"mean": bns["mean"] - bias, "var": bns["var"]}
+    cp["BatchNorm_0"] = bnp
+    return cp, {"BatchNorm_0": bns}
+
+
+def convert_naive_decoder(sd, num_layer: int = 2) -> tuple[dict, dict]:
+    """Reference NaiveDecoder (ModuleList ``decoder.{k}`` with ReLU
+    gaps, naive_decoder.py:36-54) -> our NaiveDecoder
+    (ConvBNReLU_{j} pairs)."""
+    p, s = {}, {}
+    for t in range(num_layer):
+        for half in range(2):
+            cp, cs = _conv_into_bn(sd, f"decoder.{6 * t + 3 * half}",
+                                   f"decoder.{6 * t + 3 * half + 1}")
+            p[f"ConvBNReLU_{2 * t + half}"] = cp
+            s[f"ConvBNReLU_{2 * t + half}"] = cs
+    return p, s
+
+
+def convert_hetero_decoder(sd, num_layer: int = 2) -> dict:
+    """Reference HeteroDecoder (per-modality NaiveDecoder + cls/reg
+    heads, sub_modules/hetero_decoder.py:27-40) -> the HeteroDecoder_0
+    subtree of HMViT."""
+    p, s = {}, {}
+    for modality in ("camera", "lidar"):
+        dp, ds = convert_naive_decoder(sd.sub(f"{modality}_decoder"),
+                                       num_layer)
+        p[f"{modality}_decoder"] = dp
+        s[f"{modality}_decoder"] = ds
+        p[f"{modality}_head"] = {
+            "Conv_0": conv(sd, f"{modality}_cls_head"),
+            "Conv_1": conv(sd, f"{modality}_reg_head"),
+        }
+    return {"params": p, "batch_stats": s}
+
+
+# ---------------------------------------------------------------------
+# Full flagship: bevformer_point_pillar_hetero -> one HMViT tree
+# ---------------------------------------------------------------------
+# reference submodules that exist in the flagship checkpoint but are
+# DEAD in its forward: the BEVFormer detection head/decoder (only_bev,
+# bevformer_wrapper.py:79), the wrapper's own decoder+heads
+# (return_features, bevformer_wrapper.py:85-86), the PointPillar heads
+# (return_features, point_pillar.py:53-54), and the top-level cls/reg
+# heads shadowed by the HeteroDecoder (bevformer_point_pillar_hetero
+# .py:124-129)
+_FLAGSHIP_DEAD = [
+    "camera_encoder.bevformer.pts_bbox_head.transformer.decoder",
+    "camera_encoder.bevformer.pts_bbox_head.transformer"
+    ".reference_points",
+    "camera_encoder.bevformer.pts_bbox_head.transformer.can_bus_mlp",
+    "camera_encoder.bevformer.pts_bbox_head.query_embedding",
+    "camera_encoder.bevformer.pts_bbox_head.cls_branches",
+    "camera_encoder.bevformer.pts_bbox_head.reg_branches",
+    "camera_encoder.bevformer.pts_bbox_head.code_weights",
+    "camera_encoder.decoder",
+    "camera_encoder.cls_head",
+    "camera_encoder.reg_head",
+    "camera_encoder.seg_head",
+    "lidar_encoder.cls_head",
+    "lidar_encoder.reg_head",
+    "cls_head",
+    "reg_head",
+]
+
+
+def convert_flagship(sd: StateDict, margs: dict) -> dict:
+    """Reference ``bevformer_point_pillar_hetero`` state_dict (the
+    checkpoint the paper's training run produces,
+    opencood/models/bevformer_point_pillar_hetero.py:52-133 saved by
+    tools/train_utils.py:26-74) -> ONE HMViT variables tree with
+    camera_encoder = the bevformer_ref twin, lidar_encoder =
+    PointPillarEncoder, fusion = HeteroFusion, HeteroDecoder_0.
+
+    ``margs`` is the yaml's model.args (lidar backbone shapes +
+    hetero_decoder num_layer)."""
+    cam = convert_bevformer_camera(
+        sd.sub("camera_encoder.bevformer"),
+        margs.get("camera", {}).get("backbone", "resnet50"))
+    lid_p, lid_s = convert_point_pillar_encoder(
+        sd.sub("lidar_encoder"), margs["lidar"])
+    fus = convert_hetero_fusion(sd, "fusion_net")
+    dec = convert_hetero_decoder(
+        sd.sub("decoder"),
+        margs.get("hetero_decoder", {}).get("num_layer", 2))
+
+    params = {
+        "camera_encoder": {"bevformer": cam["params"]},
+        "lidar_encoder": lid_p,
+        "fusion": fus["params"],
+        "HeteroDecoder_0": dec["params"],
+    }
+    stats = {
+        "camera_encoder": {"bevformer": cam["batch_stats"]},
+        "lidar_encoder": lid_s,
+        "HeteroDecoder_0": dec["batch_stats"],
+    }
+    if sd.has("compressor.encoder.0.weight"):
+        raise NotImplementedError(
+            "compression > 0 checkpoints are not supported yet "
+            "(NaiveCompressor subtree)")
+    dead = sd.mark_dead(_FLAGSHIP_DEAD)
+    return {"params": params, "batch_stats": stats,
+            "dead_reference_keys": dead,
+            "camera_num_layers": cam["num_layers"]}
+
+
 CONVERTERS = {
     "point_pillar": lambda sd, margs, prefix: convert_point_pillar(sd, margs),
     "fax": lambda sd, margs, prefix: convert_fax_module(sd, prefix or "fax"),
     "cvt": lambda sd, margs, prefix: convert_cvt_module(sd, prefix or "cvm"),
     "hetero_fusion": lambda sd, margs, prefix: convert_hetero_fusion(
         sd, prefix or "fusion_net"),
+    "bevformer": lambda sd, margs, prefix: {
+        k: v for k, v in convert_bevformer_camera(
+            sd.sub(prefix or "camera_encoder.bevformer")).items()
+        if k in ("params", "batch_stats")},
+    "bevformer_point_pillar_hetero":
+        lambda sd, margs, prefix: convert_flagship(sd, margs),
 }
 
 
@@ -491,12 +764,17 @@ def main(argv=None):
         from ..config.loader import load_config
 
         margs = load_config(args.hypes)["model"]["args"]
-    if args.core_method == "point_pillar" and margs is None:
-        ap.error("--hypes is required for point_pillar (backbone "
+    if margs is None and args.core_method in (
+            "point_pillar", "bevformer_point_pillar_hetero"):
+        ap.error("--hypes is required for this core_method (backbone "
                  "layer_nums / upsample_strides shape the param tree)")
 
-    variables, unused = convert(args.from_reference, args.core_method,
-                                margs, args.prefix)
+    result, unused = convert(args.from_reference, args.core_method,
+                             margs, args.prefix)
+    extras = {k: v for k, v in result.items()
+              if k not in ("params", "batch_stats")}
+    variables = {k: v for k, v in result.items()
+                 if k in ("params", "batch_stats")}
 
     import jax.numpy as jnp
 
@@ -510,6 +788,10 @@ def main(argv=None):
     report = {"converted_params": n,
               "output": os.path.abspath(args.output),
               "unconsumed_keys": unused}
+    if extras.get("dead_reference_keys"):
+        report["dead_reference_keys"] = extras["dead_reference_keys"]
+    if extras.get("camera_num_layers"):
+        report["camera_num_layers"] = extras["camera_num_layers"]
     with open(os.path.join(args.output, "conversion_report.json"),
               "w") as f:
         json.dump(report, f, indent=1)

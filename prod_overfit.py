@@ -35,6 +35,16 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--eval_every", type=int, default=100)
     p.add_argument("--target", type=float, default=0.9)
+    p.add_argument("--target_metric", choices=["ap50", "ap70"],
+                   default="ap70",
+                   help="which AP the early-exit watches (VERDICT r4 "
+                        "Weak #5: the north-star is AP@0.7 parity, so "
+                        "the run must show tight localization, not stop "
+                        "at the looser ap50 gate)")
+    p.add_argument("--patience", type=int, default=8,
+                   help="stop after this many evals without the target "
+                        "metric improving (plateau detection) — the "
+                        "curve is recorded either way")
     p.add_argument("--max_points", type=int, default=30000)
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--num_cavs", type=int, default=4)
@@ -191,6 +201,9 @@ def main(argv=None):
     best = (0.0, 0.0, 0.0)
     reached = None
     t_compile = None
+    tgt_idx = {"ap30": 0, "ap50": 1, "ap70": 2}[args.target_metric]
+    best_tgt = -1.0
+    stale = 0
     with open(log_path, "a") as lf:
         for step in range(args.max_steps):
             state, metrics = step_fn(state, batches[step % len(batches)],
@@ -210,10 +223,20 @@ def main(argv=None):
                 lf.write(json.dumps(rec) + "\n")
                 lf.flush()
                 print(rec, flush=True)
-                if ap50 > best[1]:
-                    best = (ap30, ap50, ap70)
-                if ap50 >= args.target and reached is None:
+                cur = (ap30, ap50, ap70)
+                if cur[tgt_idx] > best_tgt:
+                    best_tgt = cur[tgt_idx]
+                    best = cur
+                    stale = 0
+                else:
+                    stale += 1
+                if cur[tgt_idx] >= args.target and reached is None:
                     reached = step + 1
+                    break
+                if stale >= args.patience:
+                    print(f"plateau: {args.target_metric} flat for "
+                          f"{stale} evals (best {best_tgt:.4f})",
+                          flush=True)
                     break
 
     wall = time.time() - t0
