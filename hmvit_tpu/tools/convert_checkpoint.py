@@ -438,23 +438,38 @@ def convert_hetero_fusion(sd: StateDict,
     models/hetero_fusion.HeteroFusion variables.  Graft into a full
     HMViT tree at the 'fusion' key (train/checkpointing.graft_subtree).
 
-    The reference's ``aggregate_fc`` is parallel-architect-mode-only
-    and is left unconsumed for sequential checkpoints (reported)."""
+    The reference's ``aggregate_fc`` is constructed but never called in
+    ANY forward (sub_modules/hetero_fusion.py:326 is its only
+    occurrence) — pure dead weight, consumed-as-dead here.  The
+    parallel-architect ``split_attn`` (live in parallel checkpoints,
+    hetero_fusion.py:295,468-470) maps onto our SplitAttn_0."""
     blk = f"{prefix}.hetero_fusion_block"
+    block_params = {
+        "window_norm": _hetero_ln(sd, f"{blk}.window_norm"),
+        "window_attn": _hetero_attn(sd, f"{blk}.window_attention"),
+        "window_ffn_norm": _hetero_ln(sd, f"{blk}.window_ffd.norm"),
+        "window_ffn": _hetero_ffn(sd, f"{blk}.window_ffd.fn"),
+        "grid_norm": _hetero_ln(sd, f"{blk}.grid_norm"),
+        "grid_attn": _hetero_attn(sd, f"{blk}.grid_attention"),
+        "grid_ffn_norm": _hetero_ln(sd, f"{blk}.grid_ffd.norm"),
+        "grid_ffn": _hetero_ffn(sd, f"{blk}.grid_ffd.fn"),
+    }
+    if sd.has(f"{blk}.split_attn.fc1.weight"):
+        # parallel architect mode (reference split_attn.py:32-48:
+        # bias-less fc1 -> LayerNorm 'bn1' -> bias-less fc2, radix
+        # softmax over the two phase branches)
+        block_params["SplitAttn_0"] = {
+            "fc1": {"kernel": sd.take(f"{blk}.split_attn.fc1.weight").T},
+            "bn1": layernorm(sd, f"{blk}.split_attn.bn1"),
+            "fc2": {"kernel": sd.take(f"{blk}.split_attn.fc2.weight").T},
+        }
+    dead = sd.mark_dead([f"{blk}.aggregate_fc"])
     params = {
-        "HeteroFusionBlock_0": {
-            "window_norm": _hetero_ln(sd, f"{blk}.window_norm"),
-            "window_attn": _hetero_attn(sd, f"{blk}.window_attention"),
-            "window_ffn_norm": _hetero_ln(sd, f"{blk}.window_ffd.norm"),
-            "window_ffn": _hetero_ffn(sd, f"{blk}.window_ffd.fn"),
-            "grid_norm": _hetero_ln(sd, f"{blk}.grid_norm"),
-            "grid_attn": _hetero_attn(sd, f"{blk}.grid_attention"),
-            "grid_ffn_norm": _hetero_ln(sd, f"{blk}.grid_ffd.norm"),
-            "grid_ffn": _hetero_ffn(sd, f"{blk}.grid_ffd.fn"),
-        },
+        "HeteroFusionBlock_0": block_params,
         "mlp_head": _hetero_ffn(sd, f"{prefix}.mlp_head"),
     }
-    return {"params": params, "batch_stats": {}}
+    return {"params": params, "batch_stats": {},
+            "dead_reference_keys": dead}
 
 
 # ---------------------------------------------------------------------
@@ -676,7 +691,8 @@ def convert_flagship(sd: StateDict, margs: dict) -> dict:
         raise NotImplementedError(
             "compression > 0 checkpoints are not supported yet "
             "(NaiveCompressor subtree)")
-    dead = sd.mark_dead(_FLAGSHIP_DEAD)
+    dead = sorted(fus.get("dead_reference_keys", [])
+                  + sd.mark_dead(_FLAGSHIP_DEAD))
     return {"params": params, "batch_stats": stats,
             "dead_reference_keys": dead,
             "camera_num_layers": cam["num_layers"]}

@@ -25,7 +25,9 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import time
 
 import numpy as np
 import yaml
@@ -253,14 +255,49 @@ def main(argv=None):
                             gt_corners)
         n_frames = 0  # skip the serial loop below
 
-    for i in range(n_frames):
+    # Pipelined serving: the per-frame host work (pcd/png decode,
+    # collate, host->device transfer) runs one frame AHEAD on a
+    # prefetch thread while the device computes the current frame —
+    # the same one-batch-ahead scheme the trainer uses (tools/train.py)
+    # and the analogue of the reference's worker-fed eval DataLoader
+    # (reference: opencood/tools/inference_camera.py:145-185 fed by
+    # train_camera.py:61-76 workers).  Without it, serving wall-clock
+    # serializes ~350 ms of host decode in front of every ~34 ms device
+    # forward at production scale (PERF.md input-pipeline share).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def produce(i):
+        """Host-side decode + assembly for frame i (no device compute;
+        to_jnp's transfers are thread-safe)."""
         frame = dataset[i]
         if args.fusion_method == "late":
+            subs = [(sub, to_jnp(dataset.collate_batch([sub])))
+                    for sub in dataset.late_fusion_frame(i)]
+            return frame, subs
+        if args.fusion_method == "early":
+            frame = dataset.early_fusion_frame(i)
+        elif args.fusion_method == "no":
+            frame = dict(frame)
+            frame["agent_mask"] = frame["agent_mask"].copy()
+            frame["points_mask"] = frame["points_mask"].copy()
+            frame["agent_mask"][1:] = 0
+            frame["points_mask"][1:] = 0
+            frame["record_len"] = np.int32(1)
+        return frame, to_jnp(dataset.collate_batch([frame]))
+
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+    pending = prefetcher.submit(produce, 0) if n_frames else None
+    t_e2e = None  # started after frame 0 (its forward pays the compile)
+    for i in range(n_frames):
+        frame, payload = pending.result()
+        if i + 1 < n_frames:
+            pending = prefetcher.submit(produce, i + 1)
+        if args.fusion_method == "late":
             data_dict, output_dict = {}, {}
-            for ci, sub in enumerate(dataset.late_fusion_frame(i)):
+            for ci, (sub, jb) in enumerate(payload):
                 key = "camera" if sub["mode"][0] == 0 else "lidar"
                 fwd, var = models.get(key, models["default"])
-                out = fwd(var, to_jnp(dataset.collate_batch([sub])))
+                out = fwd(var, jb)
                 data_dict[ci] = {
                     "transformation_matrix": sub["to_ego"],
                     "anchor_box": anchors,
@@ -268,16 +305,7 @@ def main(argv=None):
                 output_dict[ci] = to_host_output(out)
             corners, scores = pp.post_process(data_dict, output_dict)
         else:
-            if args.fusion_method == "early":
-                frame = dataset.early_fusion_frame(i)
-            elif args.fusion_method == "no":
-                frame = dict(frame)
-                frame["agent_mask"] = frame["agent_mask"].copy()
-                frame["points_mask"] = frame["points_mask"].copy()
-                frame["agent_mask"][1:] = 0
-                frame["points_mask"][1:] = 0
-                frame["record_len"] = np.int32(1)
-            jb = to_jnp(dataset.collate_batch([frame]))
+            jb = payload
             if serving_fwd is not None and args.fusion_method == \
                     "intermediate":
                 out = serving_fwd(variables, jb, frame)
@@ -289,6 +317,8 @@ def main(argv=None):
                          "no_post_projection": True}},
                 {"ego": to_host_output(out)},
             )
+        if i == 0:
+            t_e2e = time.perf_counter()
 
         corners = lift_corners(corners)
         gt_mask = frame["object_bbx_mask"] > 0
@@ -320,6 +350,18 @@ def main(argv=None):
             os.path.join(args.model_dir, "sequence.html"), html_frames)
 
     results = E.final_results(stat)
+    if t_e2e is not None and n_frames > 1:
+        # steady-state END-TO-END throughput: decode + transfer +
+        # device forward + rotated-NMS postprocess, overlapped by the
+        # prefetch thread; frame 0 (compile) excluded.  This is the
+        # honest serving number next to bench.py's device-only fps —
+        # on few-core hosts the decode share bounds it (PERF.md).
+        wall = time.perf_counter() - t_e2e
+        results["e2e"] = {"fps": round((n_frames - 1) / wall, 3),
+                          "frames": n_frames - 1,
+                          "wall_s": round(wall, 3)}
+        print(json.dumps({"e2e_fps": results["e2e"]["fps"],
+                          "frames": n_frames - 1}))
     if "iou" in results:
         print("AP@0.3 is %.3f\nAP@0.5 is %.3f\nAP@0.7 is %.3f"
               % (results["iou"]["ap_30"], results["iou"]["ap_50"],

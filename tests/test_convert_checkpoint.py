@@ -398,7 +398,8 @@ def test_hetero_fusion_checkpoint_round_trip(tmp_path):
     import jax as _jax
 
     variables = {k: _jax.tree_util.tree_map(jnp.asarray, v)
-                 for k, v in variables.items()}
+                 for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
     got = np.asarray(ours.apply(variables, *args))  # (B, H, W, C)
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                atol=2e-4, rtol=2e-4)
