@@ -223,7 +223,7 @@ def main(iters: int = 20, max_cav: int = 5, num_agents: int = 4,
 
 def train_main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
                image_size: int = 512, max_points: int = 30000,
-               remat=True, batch_size: int = 1):
+               remat=True, batch_size: int = 1, bucketed: bool = False):
     """Training throughput: optimizer steps/sec/chip at production scale.
 
     Full run-both trace (training can't use serving buckets — the fleet
@@ -281,7 +281,12 @@ def train_main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     model = HMViT(cfg)
     tx = optax.adamw(2e-4)  # the canonical config's optimizer
     state = create_train_state(model, tx, jb, rng=jax.random.key(0))
-    step = make_train_step(model, tx, half=True)
+    if bucketed:
+        from hmvit_tpu.train.trainer import make_bucketed_train_step
+
+        step = make_bucketed_train_step(model, tx, half=True)
+    else:
+        step = make_train_step(model, tx, half=True)
     rng = jax.random.key(1)
 
     state, metrics = step(state, jb, labels, rng)  # compile + warm
@@ -296,8 +301,9 @@ def train_main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     steps_per_sec = iters / dt
     record = {
         "metric": "train steps/sec/chip 4-agent mixed-modality "
-                  "(bf16 AMP, AdamW, remat=%s, batch=%d)"
-                  % (remat, batch_size),
+                  "(bf16 AMP, AdamW, remat=%s, batch=%d%s)"
+                  % (remat, batch_size,
+                     ", count-bucketed" if bucketed else ""),
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
         "frames_per_sec": round(steps_per_sec * batch_size, 3),
@@ -307,7 +313,8 @@ def train_main(iters: int = 10, max_cav: int = 5, num_agents: int = 4,
     # (fwd + bwd + remat recompute + AdamW), against the chip's peak
     try:
         analysis = step.lower(state, jb, labels,
-                              rng).compile().cost_analysis()
+                              rng).compile().cost_analysis()  # noqa: the
+        # bucketed dispatcher has no .lower; the except records nothing
         if isinstance(analysis, list):
             analysis = analysis[0]
         flops = float(analysis.get("flops", 0.0))
@@ -353,6 +360,7 @@ if __name__ == "__main__":
         if "--remat_stages" in sys.argv:  # e.g. fusion  or  camera,fusion
             remat = sys.argv[
                 sys.argv.index("--remat_stages") + 1].split(",")
-        train_main(remat=remat, batch_size=bs)
+        train_main(remat=remat, batch_size=bs,
+                   bucketed="--bucketed" in sys.argv)
     else:
         main(bf16="--fp32" not in sys.argv, batch_size=bs)

@@ -227,17 +227,16 @@ class HeteroWindowAttention(nn.Module):
             sm_idx = np.asarray(static_modes)
             wsel = wkv[:, sm_idx].astype(cdt)   # (ntau, L, C, 2C)
             bsel = bkv[:, sm_idx].astype(cdt)   # (ntau, L, 2C)
-            # fold the bias INTO the matmul as an appended ones channel:
-            # a separate post-cast bias add is a full read+write HBM
-            # pass over the 134 MB kv2 tensor (~0.35 ms/phase, round-5
-            # xplane) while one extra contraction row is ~free on the
-            # MXU (the bias now accumulates in fp32 with the products)
-            ones = jnp.ones((*x.shape[:-1], 1), x.dtype)
-            waug = jnp.concatenate([wsel, bsel[:, :, None, :]], axis=2)
-            kv2 = jnp.einsum("bjxyc,tjcf->btjxyf",
-                             jnp.concatenate([x, ones], -1), waug,
-                             preferred_element_type=jnp.float32
-                             ).astype(cdt)
+            # bias joins in fp32 BEFORE the serving-dtype cast so XLA
+            # fuses add+convert into the matmul epilogue — a post-cast
+            # bias add was a separate full read+write HBM pass over the
+            # 134 MB kv2 tensor (~0.35 ms/phase, round-5 xplane).  The
+            # ones-channel fold was tried and LOST: K 257 pads to 384
+            # on the MXU, +50% matmul work > the pass saved (PERF.md).
+            kv2 = (jnp.einsum("bjxyc,tjcf->btjxyf", x, wsel,
+                              preferred_element_type=jnp.float32)
+                   + bsel[None, :, :, None, None].astype(jnp.float32)
+                   ).astype(cdt)
         else:
             k = to_k(x, mode)
             v = to_v(x, mode)

@@ -43,6 +43,13 @@ def parse_args(argv=None):
                    help="parallel per-frame decode threads (the "
                         "DataLoader-worker analogue; PNG/pcd decode is "
                         "numpy/PIL-bound and releases the GIL)")
+    p.add_argument("--bucketed", action="store_true",
+                   help="count-bucketed train step: one compiled "
+                        "program per fleet camera count, so each "
+                        "encoder runs (fwd+bwd+remat) on its real rows "
+                        "only — the reference's row-split + "
+                        "find_unused_parameters semantics (<= max_cav+1 "
+                        "compiles; see train/trainer.py)")
     p.add_argument("--half", action="store_true",
                    help="bf16 compute (fp32 master params)")
     p.add_argument("--remat", action="store_true",
@@ -204,8 +211,20 @@ def main(argv=None):
             f"data-parallel degree {dp} (devices {jax.device_count()}"
             f" / mp {mp}); pass --batch_size or adjust "
             "train_params.batch_size")
-    train_step = make_train_step(model, tx, loss_fn=loss_fn,
-                                 loss_kwargs=loss_kwargs, half=args.half)
+    if args.bucketed:
+        from ..train.trainer import make_bucketed_train_step
+
+        if mesh.shape["data"] > 1 or mp > 1:
+            raise SystemExit("--bucketed is a single-chip step "
+                             "specialization; drop it under dp/mp "
+                             "sharding")
+        train_step = make_bucketed_train_step(
+            model, tx, loss_fn=loss_fn, loss_kwargs=loss_kwargs,
+            half=args.half)
+    else:
+        train_step = make_train_step(model, tx, loss_fn=loss_fn,
+                                     loss_kwargs=loss_kwargs,
+                                     half=args.half)
     eval_step = make_eval_step(model, loss_fn=loss_fn,
                                loss_kwargs=loss_kwargs)
     rng = jax.random.key(args.seed + 1)

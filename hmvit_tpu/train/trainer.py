@@ -57,7 +57,15 @@ def make_train_step(model, tx,
     bfloat16 against bf16-cast params/inputs, master params and the
     optimizer stay fp32 (bf16's range makes loss scaling unnecessary).
     """
+    return _make_train_step(model, tx, loss_fn, loss_kwargs, half,
+                            camera_bucket=None)
+
+
+def _make_train_step(model, tx, loss_fn, loss_kwargs, half,
+                     camera_bucket=None):
     loss_kwargs = loss_kwargs or {}
+    apply_kwargs = ({} if camera_bucket is None
+                    else {"camera_bucket": camera_bucket})
 
     def step(state: TrainState, batch, labels, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -68,7 +76,7 @@ def make_train_step(model, tx,
             out, updates = model.apply(
                 {"params": p, "batch_stats": state.batch_stats},
                 batch_in, train=True, mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": dropout_rng}, **apply_kwargs,
             )
             if half:
                 out = jax.tree_util.tree_map(
@@ -91,6 +99,48 @@ def make_train_step(model, tx,
         return new_state, parts
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_bucketed_train_step(model, tx,
+                             loss_fn: Callable = point_pillar_loss,
+                             loss_kwargs: dict | None = None,
+                             half: bool = False):
+    """Count-bucketed training (VERDICT r4 ask #2): specialize the
+    compiled step on the batch's actual camera count so the camera
+    encoder's forward + backward + remat recompute run on exactly the
+    camera rows instead of every slot.  At max_cav=5 the fleet mix
+    takes <= 6 (n_cam, n_lidar) values, so the jit cache stays tiny and
+    each entry persists in the compile cache.
+
+    Semantics: this is the reference's boolean row split
+    (base_camera_lidar_intermediate.py:19-65) + its DDP
+    ``find_unused_parameters=True`` answer to conditional execution
+    (train_camera.py:126-131) — unused-branch params get zero grads
+    (AdamW still applies weight decay, like torch with grad=0), and
+    train-mode BatchNorm statistics are computed over the REAL rows of
+    each branch, which matches the reference exactly; the run-both
+    trace (make_train_step) normalizes camera BN over lidar rows'
+    dummy activations as the price of a mix-independent graph.  Grads
+    are exact per bucket: the rows each branch drops were select-masked
+    to zero gradient in the run-both trace anyway.
+    """
+    import functools
+
+    import numpy as np
+
+    @functools.lru_cache(maxsize=None)
+    def compiled(n_cam: int):
+        return _make_train_step(model, tx, loss_fn, loss_kwargs, half,
+                                camera_bucket=n_cam)
+
+    def dispatch(state: TrainState, batch, labels, rng):
+        mode = np.asarray(batch["mode"])
+        active = np.asarray(batch["agent_mask"]) > 0
+        n_cam = int(((mode == 0) & active).sum())
+        return compiled(n_cam)(state, batch, labels, rng)
+
+    dispatch.cache_info = compiled.cache_info  # for tests/bench
+    return dispatch
 
 
 def make_eval_step(model, loss_fn: Callable = point_pillar_loss,
