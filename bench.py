@@ -344,6 +344,8 @@ if __name__ == "__main__":
     bs = 1
     if "--batch" in sys.argv:
         bs = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--stem_s2d" in sys.argv:  # A/B: space-to-depth camera stem
+        PROD_CFG["camera"]["stem_s2d"] = True
     if "--no_stripe" in sys.argv:  # A/B: split-relayout attention path
         PROD_CFG["hetero_fusion"]["hetero_fusion_block"][
             "use_stripe"] = False

@@ -44,7 +44,8 @@ def make_image_backbone(cfg: dict):
         from .resnet import ResNetEncoder
 
         return ResNetEncoder(arch=backbone,
-                             id_pick=tuple(cfg.get("id_pick", (3,))))
+                             id_pick=tuple(cfg.get("id_pick", (3,))),
+                             stem_s2d=cfg.get("stem_s2d", False))
     return ImageEncoder(tuple(cfg.get("encoder_channels",
                                       (32, 64, 128, cfg.get("dim", 128)))))
 

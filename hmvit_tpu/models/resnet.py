@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 
@@ -77,6 +78,41 @@ _ARCH = {
 }
 
 
+class _StemParam(nn.Module):
+    """Holder so the s2d stem shares nn.Conv's exact param path
+    (``Conv_0/kernel`` of shape (7, 7, 3, 64))."""
+
+    @nn.compact
+    def __call__(self, dtype):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, 64)).astype(dtype)
+
+
+def _s2d_stem(x):
+    """7x7/2 stem == 4x4/1 conv over 2x2-space-to-depth input.
+
+    Identity (per axis, XLA-'SAME' (2, 3) padding):
+      out[i] = sum_k K7[k] x[2i + k - 2]
+             = sum_t sum_s K8[2t + s] X_s[i + t - 1],
+    with K8 = K7 post-padded by one zero tap and X_s the parity-s
+    strided slice — so the 4-tap conv needs padding (1, 2) and the s2d
+    map is built from four strided slices (no 6D transpose; round-3's
+    reshape-based s2d died on exactly that relayout, PERF.md)."""
+    k7 = _StemParam(name="Conv_0")(x.dtype)
+    k8 = jnp.pad(k7, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    # (8, 8, 3, 64) -> (4, sy, 4, sx, 3, 64) -> (4, 4, sy, sx, 3, 64)
+    k4 = k8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+    k4 = k4.reshape(4, 4, 12, 64)
+    slices = [x[:, sy::2, sx::2, :]
+              for sy in (0, 1) for sx in (0, 1)]
+    xs = jnp.concatenate(slices, axis=-1)  # (N, H/2, W/2, 12)
+    return jax.lax.conv_general_dilated(
+        xs, k4, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNetEncoder(nn.Module):
     """(N, H, W, 3) -> feature(s) at stride 4/8/16/32.
 
@@ -88,14 +124,24 @@ class ResNetEncoder(nn.Module):
     # (conv1 pads (3, 3), maxpool (1, 1), block stride-2 convs (1, 1));
     # default False keeps the established XLA-'SAME' numerics.
     torch_padding: bool = False
+    # space-to-depth stem: the IDENTICAL 7x7/2 convolution expressed as
+    # a 4x4/1 conv over the 2x2-space-to-depth input (3 -> 12 input
+    # channels), built from STRIDED SLICES rather than the 6D
+    # reshape+transpose whose layout copy sank the round-3 attempt
+    # (PERF.md).  Serving-only knob; the param tree (Conv_0/kernel,
+    # (7,7,3,64)) is unchanged, so checkpoints are interchangeable.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block, layout = _ARCH[self.arch]
-        x = nn.Conv(64, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)) if self.torch_padding
-                    else "SAME",
-                    use_bias=False)(x)
+        if self.stem_s2d and not self.torch_padding:
+            x = _s2d_stem(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)) if self.torch_padding
+                        else "SAME",
+                        use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
         if self.torch_padding:

@@ -101,3 +101,25 @@ def test_fpn_pyramid_and_planar_lift_integration():
     assert bev.shape == (1, 8, 8, 16)
     assert np.isfinite(np.asarray(bev)).all()
     assert any("fpn" in k for k in var["params"])
+
+
+def test_stem_s2d_matches_plain_stem():
+    """The space-to-depth serving stem (resnet.py::_s2d_stem) is the
+    IDENTICAL 7x7/2 convolution re-expressed over strided slices —
+    same params, equal outputs (round-5 perf experiment; the knob is
+    camera config ``stem_s2d``)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hmvit_tpu.models.resnet import ResNetEncoder
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(
+        np.float32))
+    plain = ResNetEncoder(arch="resnet18", id_pick=(1,))
+    s2d = ResNetEncoder(arch="resnet18", id_pick=(1,), stem_s2d=True)
+    v = plain.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(s2d.apply(v, x)), np.asarray(plain.apply(v, x)),
+        atol=2e-5, rtol=2e-5)
