@@ -47,6 +47,15 @@ def parse_args(argv=None):
     p.add_argument("--max_points", type=int, default=60000)
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_cavs", type=int, default=2,
+                   help="fleet size of the generated mini-OPV2V fixture")
+    p.add_argument("--synthetic_frames", type=int, default=4)
+    p.add_argument("--bf16", action="store_true",
+                   help="TPU-standard serving numerics: params and "
+                        "camera pixels cast to bfloat16, geometry/"
+                        "calibration and raw points stay fp32 (the "
+                        "bench.py serving convention; psm scores agree "
+                        "with fp32 to ~2e-4, PERF.md)")
     p.add_argument("--save_npy", action="store_true")
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--data_parallel", action="store_true",
@@ -154,7 +163,9 @@ def main(argv=None):
         root = tempfile.mkdtemp(prefix="mini_opv2v_eval_")
         cam_args = (params["preprocess"]["args"]["camera_preprocess"]
                     ["args"])
-        write_mini_opv2v(root, num_scenarios=1, num_cavs=2, num_frames=4,
+        write_mini_opv2v(root, num_scenarios=1,
+                         num_cavs=args.synthetic_cavs,
+                         num_frames=args.synthetic_frames,
                          image_size=cam_args["resize_x"],
                          max_points=min(args.max_points, 8192))
         params["root_dir"] = params["validate_dir"] = root
@@ -170,6 +181,25 @@ def main(argv=None):
 
     example = dataset.collate_batch([dataset[0]])
     forward, variables, model = load_runnable(args.model_dir, example)
+    bf16_batch = None
+    if args.bf16:
+        import jax
+
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, variables)
+        # geometry/calibration and raw lidar points stay fp32 (bf16
+        # coordinates quantize to ~0.4 m at 100 m range); the pillar
+        # path casts its assembled features via lidar compute_dtype
+        geom = {"pairwise_t_matrix", "transformation_matrix",
+                "intrinsics", "extrinsics", "spatial_correction_matrix",
+                "points"}
+
+        def bf16_batch(jb):
+            return {k: (v.astype(jnp.bfloat16)
+                        if v.dtype == jnp.float32 and k not in geom
+                        else v)
+                    for k, v in jb.items()}
     serving_fwd = (make_serving_forward(model)
                    if args.serving_buckets else None)
     models = {"default": (forward, variables)}
@@ -283,7 +313,10 @@ def main(argv=None):
             frame["agent_mask"][1:] = 0
             frame["points_mask"][1:] = 0
             frame["record_len"] = np.int32(1)
-        return frame, to_jnp(dataset.collate_batch([frame]))
+        jb = to_jnp(dataset.collate_batch([frame]))
+        if bf16_batch is not None:
+            jb = bf16_batch(jb)
+        return frame, jb
 
     prefetcher = ThreadPoolExecutor(max_workers=1)
     pending = prefetcher.submit(produce, 0) if n_frames else None

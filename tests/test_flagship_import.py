@@ -537,7 +537,9 @@ def test_bevformer_camera_round_trip(tmp_path):
     got = np.asarray(model.apply(
         variables, jnp.asarray(imgs), jnp.asarray(intr),
         jnp.asarray(extr)))
-    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+    # measured max|diff| 2.1e-5 at unit-scale activations (fp32 CPU);
+    # tolerance leaves cross-platform headroom
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
     # visibility must be non-trivial for the masking paths to count
     assert np.abs(want).mean() > 1e-3
 
