@@ -902,6 +902,8 @@ def test_flagship_import_inference_ap_smoke(tmp_path):
     for k in ("ap_30", "ap_50", "ap_70"):
         v = res["iou"][k]
         assert np.isfinite(v) and 0.0 <= v <= 1.0
+    # the pipelined loop publishes the steady-state end-to-end record
+    assert res["e2e"]["frames"] == 1 and res["e2e"]["fps"] > 0
 
 
 def test_parallel_architect_checkpoint_round_trip(tmp_path):
