@@ -321,6 +321,8 @@ def main(argv=None):
     prefetcher = ThreadPoolExecutor(max_workers=1)
     pending = prefetcher.submit(produce, 0) if n_frames else None
     t_e2e = None  # started after frame 0 (its forward pays the compile)
+    frame_ms = []
+    t_prev = None
     for i in range(n_frames):
         frame, payload = pending.result()
         if i + 1 < n_frames:
@@ -351,7 +353,11 @@ def main(argv=None):
                 {"ego": to_host_output(out)},
             )
         if i == 0:
-            t_e2e = time.perf_counter()
+            t_e2e = t_prev = time.perf_counter()
+        else:
+            now = time.perf_counter()
+            frame_ms.append((now - t_prev) * 1e3)
+            t_prev = now
 
         corners = lift_corners(corners)
         gt_mask = frame["object_bbx_mask"] > 0
@@ -393,8 +399,15 @@ def main(argv=None):
         results["e2e"] = {"fps": round((n_frames - 1) / wall, 3),
                           "frames": n_frames - 1,
                           "wall_s": round(wall, 3)}
+        if frame_ms:
+            results["e2e"]["p50_ms"] = round(
+                float(np.percentile(frame_ms, 50)), 1)
+            results["e2e"]["p95_ms"] = round(
+                float(np.percentile(frame_ms, 95)), 1)
         print(json.dumps({"e2e_fps": results["e2e"]["fps"],
-                          "frames": n_frames - 1}))
+                          "frames": n_frames - 1,
+                          "p50_ms": results["e2e"].get("p50_ms"),
+                          "p95_ms": results["e2e"].get("p95_ms")}))
     if "iou" in results:
         print("AP@0.3 is %.3f\nAP@0.5 is %.3f\nAP@0.7 is %.3f"
               % (results["iou"]["ap_30"], results["iou"]["ap_50"],
