@@ -714,6 +714,282 @@ CONVERTERS = {
 
 
 # ---------------------------------------------------------------------
+# REVERSE direction: HMViT variables -> reference-keyed state_dict
+# ---------------------------------------------------------------------
+# Migration is bidirectional: `export_flagship` emits the reference's
+# exact `net_epoch%d.pth` key layout from one HMViT variables tree, so
+# weights trained HERE load into the reference with its own
+# ``load_saved_model`` (which uses strict=False,
+# opencood/tools/train_utils.py:70 — the reference-side dead heads we
+# never carry are simply left at their torch init).  Each exporter is
+# the literal mirror of its convert_* function; the pairing is pinned
+# by the export->convert round trip in tests/test_flagship_import.py.
+
+class _Writer:
+    """Accumulates a torch-style state_dict (name -> numpy)."""
+
+    def __init__(self):
+        self.out: dict[str, np.ndarray] = {}
+
+    def put(self, key: str, value) -> None:
+        self.out[key] = np.asarray(value)
+
+    def conv(self, key: str, p: dict) -> None:
+        self.put(f"{key}.weight",
+                 np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+        if "bias" in p:
+            self.put(f"{key}.bias", p["bias"])
+
+    def linear(self, key: str, p: dict) -> None:
+        self.put(f"{key}.weight", np.asarray(p["kernel"]).T)
+        if "bias" in p:
+            self.put(f"{key}.bias", p["bias"])
+
+    def layernorm(self, key: str, p: dict) -> None:
+        self.put(f"{key}.weight", p["scale"])
+        self.put(f"{key}.bias", p["bias"])
+
+    def batchnorm(self, key: str, p: dict, s: dict) -> None:
+        self.put(f"{key}.weight", p["scale"])
+        self.put(f"{key}.bias", p["bias"])
+        self.put(f"{key}.running_mean", s["mean"])
+        self.put(f"{key}.running_var", s["var"])
+
+    def conv_transpose(self, key: str, p: dict) -> None:
+        w = np.asarray(p["kernel"]).transpose(2, 3, 0, 1)[:, :, ::-1,
+                                                          ::-1]
+        # .copy(), not ascontiguousarray: size-1 kernel axes count as
+        # 'contiguous' to numpy, which would keep the flip's negative
+        # strides and break torch.from_numpy
+        self.put(f"{key}.weight", w.copy())
+        if "bias" in p:
+            self.put(f"{key}.bias", p["bias"])
+
+    def conv_from_bn_fold(self, conv_key: str, bn_key: str, cp: dict,
+                          cs: dict) -> None:
+        """Mirror of _conv_into_bn: our bias-free conv + BN exports as
+        conv bias 0 (the import folded it into the running mean, which
+        already carries the shift — functionally identical)."""
+        k = np.asarray(cp["Conv_0"]["kernel"])
+        self.put(f"{conv_key}.weight", k.transpose(3, 2, 0, 1))
+        self.put(f"{conv_key}.bias", np.zeros(k.shape[-1], k.dtype))
+        self.batchnorm(bn_key, cp["BatchNorm_0"],
+                       cs["BatchNorm_0"])
+
+
+def _export_stacked_linear(w, fmt: str, p: dict) -> None:
+    """Mirror of _stacked_linear: (T, din, dout)+(T, dout) -> per-type
+    torch Linears."""
+    for t in range(np.asarray(p["kernel"]).shape[0]):
+        w.put(fmt.format(t) + ".weight", np.asarray(p["kernel"])[t].T)
+        w.put(fmt.format(t) + ".bias", np.asarray(p["bias"])[t])
+
+
+def _export_hetero_ln(w, key: str, p: dict) -> None:
+    for t in range(np.asarray(p["scale"]).shape[0]):
+        w.put(f"{key}.net.{t}.weight", np.asarray(p["scale"])[t])
+        w.put(f"{key}.net.{t}.bias", np.asarray(p["bias"])[t])
+
+
+def _export_hetero_ffn(w, key: str, p: dict) -> None:
+    _export_stacked_linear(w, key + ".net.{}.0", p["HeteroDense_0"])
+    _export_stacked_linear(w, key + ".net.{}.3", p["HeteroDense_1"])
+
+
+def _export_hetero_attn(w, key: str, p: dict) -> None:
+    _export_stacked_linear(w, key + ".q_linears.{}", p["to_q"])
+    _export_stacked_linear(w, key + ".k_linears.{}", p["to_k"])
+    _export_stacked_linear(w, key + ".v_linears.{}", p["to_v"])
+    _export_stacked_linear(w, key + ".a_linears.{}.0", p["to_out"])
+    w.put(f"{key}.relation_att", p["relation_att"])
+    w.put(f"{key}.relation_msg",
+          np.swapaxes(np.asarray(p["relation_msg"]), -1, -2))
+    w.put(f"{key}.relative_position_bias_table.weight",
+          p["rel_pos_bias"])
+
+
+def export_hetero_fusion(w, prefix: str, params: dict) -> None:
+    blk_key = f"{prefix}.hetero_fusion_block"
+    blk = params["HeteroFusionBlock_0"]
+    _export_hetero_ln(w, f"{blk_key}.window_norm", blk["window_norm"])
+    _export_hetero_attn(w, f"{blk_key}.window_attention",
+                        blk["window_attn"])
+    _export_hetero_ln(w, f"{blk_key}.window_ffd.norm",
+                      blk["window_ffn_norm"])
+    _export_hetero_ffn(w, f"{blk_key}.window_ffd.fn",
+                       blk["window_ffn"])
+    _export_hetero_ln(w, f"{blk_key}.grid_norm", blk["grid_norm"])
+    _export_hetero_attn(w, f"{blk_key}.grid_attention",
+                        blk["grid_attn"])
+    _export_hetero_ln(w, f"{blk_key}.grid_ffd.norm",
+                      blk["grid_ffn_norm"])
+    _export_hetero_ffn(w, f"{blk_key}.grid_ffd.fn", blk["grid_ffn"])
+    if "SplitAttn_0" in blk:
+        sa = blk["SplitAttn_0"]
+        w.put(f"{blk_key}.split_attn.fc1.weight",
+              np.asarray(sa["fc1"]["kernel"]).T)
+        w.layernorm(f"{blk_key}.split_attn.bn1", sa["bn1"])
+        w.put(f"{blk_key}.split_attn.fc2.weight",
+              np.asarray(sa["fc2"]["kernel"]).T)
+    _export_hetero_ffn(w, f"{prefix}.mlp_head", params["mlp_head"])
+
+
+def export_point_pillar_encoder(w, prefix: str, margs: dict,
+                                params: dict, stats: dict) -> None:
+    pfn_p = params["PillarFeatureNet_0"]
+    pfn_s = stats["PillarFeatureNet_0"]
+    i = 0
+    while f"Dense_{i}" in pfn_p:
+        w.linear(f"{prefix}pillar_vfe.pfn_layers.{i}.linear",
+                 pfn_p[f"Dense_{i}"])
+        w.batchnorm(f"{prefix}pillar_vfe.pfn_layers.{i}.norm",
+                    pfn_p[f"MaskedBatchNorm_{i}"],
+                    pfn_s[f"MaskedBatchNorm_{i}"])
+        i += 1
+    bb = margs["base_bev_backbone"]
+    bb_p = params["BEVBackbone_0"]
+    bb_s = stats["BEVBackbone_0"]
+    ci = 0
+    n_convT = n_conv = 0
+    for si, n_layers in enumerate(bb["layer_nums"]):
+        idxs = [1] + [4 + 3 * k for k in range(n_layers)]
+        for idx in idxs:
+            w.conv(f"{prefix}backbone.blocks.{si}.{idx}",
+                   bb_p[f"ConvBNReLU_{ci}"]["Conv_0"])
+            w.batchnorm(f"{prefix}backbone.blocks.{si}.{idx + 1}",
+                        bb_p[f"ConvBNReLU_{ci}"]["BatchNorm_0"],
+                        bb_s[f"ConvBNReLU_{ci}"]["BatchNorm_0"])
+            ci += 1
+        de = f"{prefix}backbone.deblocks.{si}"
+        if bb["upsample_strides"][si] >= 1:
+            w.conv_transpose(f"{de}.0", bb_p[f"ConvTranspose_{n_convT}"])
+            n_convT += 1
+        else:
+            w.conv(f"{de}.0", bb_p[f"Conv_{n_conv}"])
+            n_conv += 1
+        w.batchnorm(f"{de}.1", bb_p[f"BatchNorm_{si}"],
+                    bb_s[f"BatchNorm_{si}"])
+    if "DownsampleConv_0" in params:
+        dc = params["DownsampleConv_0"]
+        for li in range(len(margs["shrink_header"]["dim"])):
+            base = f"{prefix}shrink_conv.layers.{li}.double_conv"
+            w.conv(f"{base}.0", dc[f"DoubleConv_{li}"]["Conv_0"])
+            w.conv(f"{base}.2", dc[f"DoubleConv_{li}"]["Conv_1"])
+
+
+def export_mmdet_resnet(w, prefix: str, params: dict, stats: dict,
+                        arch: str = "resnet50") -> None:
+    w.conv(f"{prefix}conv1", params["Conv_0"])
+    w.batchnorm(f"{prefix}bn1", params["BatchNorm_0"],
+                stats["BatchNorm_0"])
+    bottleneck = _RESNET_BOTTLENECK[arch]
+    blk_name = "Bottleneck" if bottleneck else "BasicBlock"
+    n_convs = 3 if bottleneck else 2
+    k = 0
+    for stage, n_blocks in enumerate(_RESNET_LAYOUT[arch]):
+        for j in range(n_blocks):
+            base = f"{prefix}layer{stage + 1}.{j}"
+            bp = params[f"{blk_name}_{k}"]
+            bs = stats[f"{blk_name}_{k}"]
+            for ci in range(n_convs):
+                w.conv(f"{base}.conv{ci + 1}", bp[f"Conv_{ci}"])
+                w.batchnorm(f"{base}.bn{ci + 1}",
+                            bp[f"BatchNorm_{ci}"],
+                            bs[f"BatchNorm_{ci}"])
+            if f"Conv_{n_convs}" in bp:
+                w.conv(f"{base}.downsample.0", bp[f"Conv_{n_convs}"])
+                w.batchnorm(f"{base}.downsample.1",
+                            bp[f"BatchNorm_{n_convs}"],
+                            bs[f"BatchNorm_{n_convs}"])
+            k += 1
+
+
+def export_bevformer_camera(w, prefix: str, params: dict, stats: dict,
+                            arch: str = "resnet50") -> None:
+    export_mmdet_resnet(w, f"{prefix}img_backbone.",
+                        params["backbone"], stats["backbone"], arch)
+    w.conv(f"{prefix}img_neck.lateral_convs.0.conv",
+           params["neck_lateral"])
+    w.conv(f"{prefix}img_neck.fpn_convs.0.conv", params["neck_fpn"])
+    head = f"{prefix}pts_bbox_head"
+    w.put(f"{head}.bev_embedding.weight", params["bev_embedding"])
+    w.put(f"{head}.positional_encoding.row_embed.weight",
+          params["row_embed"])
+    w.put(f"{head}.positional_encoding.col_embed.weight",
+          params["col_embed"])
+    tr = f"{head}.transformer"
+    w.put(f"{tr}.level_embeds", params["level_embeds"])
+    w.put(f"{tr}.cams_embeds", params["cams_embeds"])
+    i = 0
+    while f"layer{i}" in params:
+        ly = params[f"layer{i}"]
+        base = f"{tr}.encoder.layers.{i}"
+        for name, sub in (("attentions.0", ly["tsa"]),):
+            for part in ("sampling_offsets", "attention_weights",
+                         "value_proj", "output_proj"):
+                w.linear(f"{base}.{name}.{part}", sub[part])
+        sca = ly["sca"]
+        for part in ("sampling_offsets", "attention_weights",
+                     "value_proj"):
+            w.linear(f"{base}.attentions.1.deformable_attention.{part}",
+                     sca[part])
+        w.linear(f"{base}.attentions.1.output_proj",
+                 sca["output_proj"])
+        for ni in range(3):
+            w.layernorm(f"{base}.norms.{ni}", ly[f"norm{ni}"])
+        w.linear(f"{base}.ffns.0.layers.0.0", ly["ffn_fc1"])
+        w.linear(f"{base}.ffns.0.layers.1", ly["ffn_fc2"])
+        i += 1
+
+
+def export_naive_decoder(w, prefix: str, params: dict, stats: dict,
+                         num_layer: int = 2) -> None:
+    for t in range(num_layer):
+        for half in range(2):
+            j = 2 * t + half
+            w.conv_from_bn_fold(
+                f"{prefix}.decoder.{6 * t + 3 * half}",
+                f"{prefix}.decoder.{6 * t + 3 * half + 1}",
+                params[f"ConvBNReLU_{j}"], stats[f"ConvBNReLU_{j}"])
+
+
+def export_hetero_decoder(w, prefix: str, params: dict, stats: dict,
+                          num_layer: int = 2) -> None:
+    for modality in ("camera", "lidar"):
+        export_naive_decoder(w, f"{prefix}.{modality}_decoder",
+                             params[f"{modality}_decoder"],
+                             stats[f"{modality}_decoder"], num_layer)
+        w.conv(f"{prefix}.{modality}_cls_head",
+               params[f"{modality}_head"]["Conv_0"])
+        w.conv(f"{prefix}.{modality}_reg_head",
+               params[f"{modality}_head"]["Conv_1"])
+
+
+def export_flagship(variables: dict, margs: dict) -> dict:
+    """One HMViT variables tree -> the reference's
+    ``bevformer_point_pillar_hetero`` state_dict (live keys only; the
+    reference's loader is strict=False so its dead heads keep their
+    torch init)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    w = _Writer()
+    export_bevformer_camera(
+        w, "camera_encoder.bevformer.",
+        params["camera_encoder"]["bevformer"],
+        stats.get("camera_encoder", {}).get("bevformer", {}),
+        margs.get("camera", {}).get("backbone", "resnet50"))
+    export_point_pillar_encoder(
+        w, "lidar_encoder.", margs["lidar"],
+        params["lidar_encoder"], stats.get("lidar_encoder", {}))
+    export_hetero_fusion(w, "fusion_net", params["fusion"])
+    export_hetero_decoder(
+        w, "decoder", params["HeteroDecoder_0"],
+        stats.get("HeteroDecoder_0", {}),
+        margs.get("hetero_decoder", {}).get("num_layer", 2))
+    return w.out
+
+
+# ---------------------------------------------------------------------
 # checkpoint discovery + CLI
 # ---------------------------------------------------------------------
 def find_reference_checkpoint(path: str) -> str:
@@ -760,10 +1036,20 @@ def convert(path: str, core_method: str, margs: dict | None = None,
 
 def main(argv=None):
     ap = argparse.ArgumentParser(
-        "convert a reference torch checkpoint to an orbax checkpoint")
-    ap.add_argument("--from_reference", required=True,
+        "convert a reference torch checkpoint to an orbax checkpoint "
+        "(--from_reference) or export an HMViT checkpoint back to the "
+        "reference's state_dict format (--from_run/--to_reference)")
+    ap.add_argument("--from_reference", default=None,
                     help="reference run dir (picks the last net_epochN"
                          ".pth) or a .pth file")
+    ap.add_argument("--from_run", default=None,
+                    help="REVERSE direction: this repo's run dir (or "
+                         "ckpt dir) whose flagship checkpoint is "
+                         "exported to --to_reference as a reference-"
+                         "keyed net_epochN.pth (loads into the "
+                         "reference via its strict=False loader)")
+    ap.add_argument("--to_reference", default=None,
+                    help="output .pth path for --from_run")
     ap.add_argument("--core_method", required=True,
                     choices=sorted(CONVERTERS))
     ap.add_argument("--hypes", default=None,
@@ -772,7 +1058,7 @@ def main(argv=None):
     ap.add_argument("--prefix", default=None,
                     help="state_dict prefix of the camera subtree "
                          "(fax: 'fax', cvt: 'cvm')")
-    ap.add_argument("--output", required=True, help="orbax ckpt dir")
+    ap.add_argument("--output", default=None, help="orbax ckpt dir")
     args = ap.parse_args(argv)
 
     margs = None
@@ -780,6 +1066,44 @@ def main(argv=None):
         from ..config.loader import load_config
 
         margs = load_config(args.hypes)["model"]["args"]
+
+    if args.from_run:
+        # ---- reverse export: HMViT orbax ckpt -> reference .pth
+        if args.core_method != "bevformer_point_pillar_hetero":
+            ap.error("--from_run export supports "
+                     "bevformer_point_pillar_hetero")
+        if not args.to_reference:
+            ap.error("--to_reference <out.pth> is required with "
+                     "--from_run")
+        if margs is None:
+            from ..config.loader import load_config
+
+            margs = load_config(
+                "", model_dir=args.from_run)["model"]["args"]
+        import jax
+
+        from ..train.checkpointing import restore_checkpoint
+
+        ckpt_dir = os.path.join(os.path.abspath(args.from_run), "ckpt")
+        if not os.path.isdir(ckpt_dir):
+            ckpt_dir = os.path.abspath(args.from_run)
+        restored = restore_checkpoint(ckpt_dir, None)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        sd_out = export_flagship(
+            jax.tree_util.tree_map(np.asarray, restored), margs)
+        import torch
+
+        torch.save({k: torch.from_numpy(np.array(v))
+                    for k, v in sd_out.items()}, args.to_reference)
+        report = {"exported_keys": len(sd_out),
+                  "output": os.path.abspath(args.to_reference)}
+        print(json.dumps(report))
+        return report
+
+    if not args.from_reference or not args.output:
+        ap.error("--from_reference and --output are required (or use "
+                 "--from_run/--to_reference for the reverse export)")
     if margs is None and args.core_method in (
             "point_pillar", "bevformer_point_pillar_hetero"):
         ap.error("--hypes is required for this core_method (backbone "

@@ -906,6 +906,142 @@ def test_flagship_import_inference_ap_smoke(tmp_path):
     assert res["e2e"]["frames"] == 1 and res["e2e"]["fps"] > 0
 
 
+def test_flagship_export_round_trip(tmp_path):
+    """REVERSE direction: weights trained HERE load into the reference.
+
+    (a) convert -> export -> convert is bit-exact (the exporter is the
+        literal mirror of the importer, incl. the conv-bias/BN-mean
+        refold);
+    (b) a RANDOM HMViT init exported to the reference key layout and
+        loaded into the torch composite with the reference's own
+        strict=False convention (train_utils.py:70) forwards equal to
+        our model on a mixed fleet."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmvit_tpu.models.hmvit import HMViT
+    from hmvit_tpu.tools.convert_checkpoint import (
+        convert_flagship,
+        export_flagship,
+        load_torch_state_dict,
+    )
+
+    ref, fusion_cfg = _build_torch_flagship(seed=37)
+    path = os.path.join(str(tmp_path), "net_epoch3.pth")
+    torch.save(ref.state_dict(), path)
+    margs = {"lidar": _LIDAR_MARGS, "camera": {"backbone": "resnet50"},
+             "hetero_decoder": {"num_layer": 1}}
+
+    # (a) convert -> export -> convert bit-exactness
+    sd = load_torch_state_dict(path)
+    r1 = convert_flagship(sd, margs)
+    sd2 = export_flagship(
+        {"params": r1["params"], "batch_stats": r1["batch_stats"]},
+        margs)
+    exported = os.path.join(str(tmp_path), "exported.pth")
+    torch.save({k: torch.from_numpy(np.array(v))
+                for k, v in sd2.items()}, exported)
+    r2 = convert_flagship(load_torch_state_dict(exported), margs)
+    p1 = _tree_paths({k: r1[k] for k in ("params", "batch_stats")})
+    p2 = _tree_paths({k: r2[k] for k in ("params", "batch_stats")})
+    assert set(p1) == set(p2)
+    flat1 = jax.tree_util.tree_leaves(
+        {k: r1[k] for k in ("params", "batch_stats")})
+    flat2 = jax.tree_util.tree_leaves(
+        {k: r2[k] for k in ("params", "batch_stats")})
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) random OUR-side init -> export -> reference loads it
+    rng = np.random.default_rng(41)
+    B, L, M, IMG = 1, 3, 2, 64
+    modes = np.array([[1, 0, 1]], np.int32)
+    imgs, intr, extr = _make_camera_inputs(rng, L, M, (IMG, IMG))
+    clouds, masks = [], []
+    for _ in range(L):
+        pts, mask = _rand_cloud(rng)
+        clouds.append(pts)
+        masks.append(mask)
+    ident = np.tile(np.eye(4, dtype=np.float32), (B, L, L, 1, 1))
+    batch = {
+        "mode": jnp.asarray(modes),
+        "agent_mask": jnp.ones((B, L), np.float32),
+        "points": jnp.asarray(np.stack(clouds)[None].astype(np.float32)),
+        "points_mask": jnp.asarray(
+            np.stack(masks)[None].astype(np.float32)),
+        "camera": jnp.asarray(imgs[None]),
+        "intrinsics": jnp.asarray(intr[None]),
+        "extrinsics": jnp.asarray(extr[None]),
+        "pairwise_t_matrix": jnp.asarray(ident),
+    }
+    cfg = _flagship_hmvit_cfg(fusion_cfg)
+    model = HMViT(cfg)
+    ours = model.init(jax.random.key(9), batch, train=False)
+    out = model.apply(ours, batch, train=False)
+
+    sd_ours = export_flagship(
+        {"params": ours["params"],
+         "batch_stats": ours.get("batch_stats", {})}, margs)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.array(v))
+         for k, v in sd_ours.items()}, strict=False)
+    assert unexpected == []
+    # everything the reference misses is its own dead weight
+    assert all(any(t in k for t in (
+        "reference_points", "can_bus_mlp", "aggregate_fc", "cls_head",
+        "reg_head", "camera_encoder.decoder", "query_embedding",
+        "cls_branches", "reg_branches", "num_batches_tracked",
+        "relative_position_index"))  # constant buffer, reconstructed
+        for k in missing), missing
+
+    ref.eval()
+    with torch.no_grad():
+        cam_rows = np.where(modes[0] == 0)[0]
+        lid_rows = np.where(modes[0] == 1)[0]
+        l2i = _torch_lidar2img(intr[cam_rows], extr[cam_rows])
+        cam_bev = ref.camera_encoder.bevformer(
+            torch.from_numpy(imgs[cam_rows].transpose(0, 1, 4, 2, 3)),
+            torch.from_numpy(l2i))
+        cam_bev = cam_bev.unflatten(1, [8, 8]).permute(0, 3, 1, 2)
+        vfs, vcs, vns = [], [], []
+        for bi, row in enumerate(lid_rows):
+            vf, vn, vc = _numpy_voxelize(
+                clouds[row], masks[row], _LIDAR_MARGS["voxel_size"],
+                _LIDAR_MARGS["lidar_range"],
+                _LIDAR_MARGS["point_pillar_scatter"]["grid_size"][:2])
+            vfs.append(vf)
+            vns.append(vn)
+            vcs.append(np.concatenate(
+                [np.full((vc.shape[0], 1), bi, vc.dtype), vc], 1))
+        ref.lidar_encoder.set_return_features()
+        lid_bev = ref.lidar_encoder({"processed_lidar": {
+            "voxel_features": torch.from_numpy(np.concatenate(vfs)),
+            "voxel_coords": torch.from_numpy(
+                np.concatenate(vcs).astype(np.float32)),
+            "voxel_num_points": torch.from_numpy(
+                np.concatenate(vns))},
+            "record_len": torch.tensor([len(lid_rows)])})
+        feats = [None] * L
+        for i, row in enumerate(cam_rows):
+            feats[row] = cam_bev[i]
+        for i, row in enumerate(lid_rows):
+            feats[row] = lid_bev[i]
+        x = torch.stack(feats)[None]
+        fused = ref.fusion_net(
+            x, torch.from_numpy(ident), torch.from_numpy(modes),
+            torch.tensor([L]), torch.ones(B, L))
+        want_psm, want_rm = ref.decoder(
+            fused.unsqueeze(1), torch.from_numpy(modes),
+            use_upsample=False)
+
+    np.testing.assert_allclose(np.asarray(out["psm"], np.float32),
+                               want_psm.numpy(), atol=2e-2, rtol=2e-2)
+    # rm at random init sits near zero (~1e-2 scale); the declared
+    # fusion deviation shows up as scattered ~3e-2 absolute noise there
+    np.testing.assert_allclose(np.asarray(out["rm"], np.float32),
+                               want_rm.numpy(), atol=5e-2, rtol=5e-2)
+
+
 def test_parallel_architect_checkpoint_round_trip(tmp_path):
     """VERDICT r4 Missing #3: a PARALLEL-architect-mode reference
     checkpoint (live ``split_attn``, reference hetero_fusion.py:295,
