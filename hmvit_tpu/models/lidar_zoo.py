@@ -240,6 +240,17 @@ class SecondDetector(nn.Module):
 
         cfg = self.config
         grid = cfg["grid_size"]
+        # the faithful z chain (conv2/3 padded s2, conv4 unpadded s2,
+        # conv_out VALID (3,1,1) s2) needs nz+1 >= 25 to keep at least
+        # one z cell; fail loudly instead of a zero-channel BEV deep in
+        # the backbone (reference nz is 40: voxel z 0.1 over 4 m)
+        z = grid[2] + 1
+        for pad, k in ((2, 3), (2, 3), (0, 3), (0, 3)):
+            z = (z + pad - k) // 2 + 1
+        if z < 1:
+            raise ValueError(
+                f"grid_size z={grid[2]} collapses VoxelBackbone8x's z "
+                "chain to zero cells; use nz >= 24 (reference: 40)")
         vox = mean_voxel_grid(points, points_mask, cfg["voxel_size"],
                               cfg["lidar_range"], grid,
                               cfg.get("max_points_per_voxel", 5))

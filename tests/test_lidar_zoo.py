@@ -16,6 +16,12 @@ CFG = {
     "anchor_number": 2,
     "vfe_filters": 16,
 }
+# SECOND needs nz >= 24 to keep the faithful VoxelBackbone8x z chain
+# alive (25 -> 13 -> 7 -> 3 -> 1; lidar_zoo.py docstring) — the round-4
+# faithful-twin rewrite made nz=8 collapse to ZERO z cells at conv_out,
+# which the round-5 full slow-lane rerun caught
+SECOND_CFG = dict(CFG, voxel_size=[0.64, 0.64, 4.0 / 24],
+                  grid_size=(64, 64, 24))
 
 
 def make_points(seed=0, n=2, p=2048):
@@ -51,7 +57,7 @@ def _check_grads(model, variables, points, mask):
 ])
 def test_anchor_families_forward_and_grad(cls, stride):
     points, mask = make_points()
-    model = cls(CFG)
+    model = cls(SECOND_CFG if cls is SecondDetector else CFG)
     variables = model.init(jax.random.key(0), points, mask, train=False)
     out = model.apply(variables, points, mask, train=False)
     hw = 64 // stride
