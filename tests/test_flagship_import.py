@@ -20,8 +20,6 @@ pinned by forward equality:
      model.init structure exactly and runs the flagship forward.
 """
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -30,7 +28,6 @@ pytestmark = pytest.mark.compile  # compile-heavy: full lane only
 
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
-import torch.nn.functional as F  # noqa: E402
 
 from test_deformable_oracle import _torch_ms_deform_attn  # noqa: E402
 from test_fax_ref_parity import (  # noqa: E402
