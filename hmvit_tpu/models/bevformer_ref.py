@@ -315,6 +315,41 @@ class RefBEVFormer(nn.Module):
         return x.reshape(n, bev_h, bev_w, dim)
 
 
+class RefBEVFormerDetector(nn.Module):
+    """The reference's standalone ``bevformer_wrapper`` late-fusion
+    camera detector (bevformer_wrapper.py:9-94 WITHOUT
+    set_return_features: trunk -> NaiveDecoder(use_upsample=False) ->
+    cls/reg heads), checkpoint-portable key-for-key — the model behind
+    the opcl/bevformer_late_fusion.yaml family.  Batch convention
+    matches the zoo's CameraDetector (ego = slot 0)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False):
+        from .layers import DetectionHead, NaiveDecoder
+
+        cfg = self.config
+        cams = batch["camera"]
+        b, l = cams.shape[:2]
+        bev = RefBEVFormer(cfg["camera"], name="bevformer")(
+            cams.reshape(b * l, *cams.shape[2:]),
+            batch["intrinsics"].reshape(
+                b * l, *batch["intrinsics"].shape[2:]),
+            batch["extrinsics"].reshape(
+                b * l, *batch["extrinsics"].shape[2:]),
+            train)
+        bev = bev.reshape(b, l, *bev.shape[1:])[:, 0]  # ego only
+        dec = cfg.get("decoder", {"num_layer": 2,
+                                  "num_ch_dec": [256, 256]})
+        x = NaiveDecoder(num_layer=dec["num_layer"],
+                         num_ch_dec=tuple(dec["num_ch_dec"]),
+                         use_upsample=False, bn_eps=1e-5,
+                         name="decoder")(bev, train)
+        psm, rm = DetectionHead(cfg["anchor_number"], name="head")(x)
+        return {"psm": psm.transpose(0, 3, 1, 2),
+                "rm": rm.transpose(0, 3, 1, 2)}
+
+
 class RefBEVFormerCameraEncoder(nn.Module):
     """Camera-encoder adapter: matches make_camera_encoder's calling
     convention (images, intrinsics, extrinsics, train) and the

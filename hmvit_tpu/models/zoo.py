@@ -281,9 +281,16 @@ def build_model(model_cfg: dict) -> nn.Module:
         # reference core_method of the single-vehicle BEVFormer late-
         # fusion model (reference: opencood/models/bevformer_wrapper.py;
         # hypes opcl/bevformer_late_fusion.yaml) — a verbatim config
-        # port resolves here to the bevformer-encoder camera detector
+        # port resolves here to the bevformer-encoder camera detector;
+        # encoder 'bevformer_ref' selects the checkpoint-portable twin
+        # (trunk + NaiveDecoder + heads, importable via
+        # convert_checkpoint --core_method bevformer_wrapper)
         camera = dict(args.get("camera", {}))
         camera.setdefault("encoder", "bevformer")
+        if camera["encoder"] == "bevformer_ref":
+            from .bevformer_ref import RefBEVFormerDetector
+
+            return RefBEVFormerDetector(dict(args, camera=camera))
         return CameraDetector(dict(args, camera=camera))
     if name in ("cvt_seg", "corpbevt_seg", "bev_seg",
                 "fax_fused_transformer"):

@@ -698,6 +698,40 @@ def convert_flagship(sd: StateDict, margs: dict) -> dict:
             "camera_num_layers": cam["num_layers"]}
 
 
+def convert_bevformer_wrapper(sd: StateDict, margs: dict) -> dict:
+    """Reference standalone ``bevformer_wrapper`` late-fusion camera
+    detector (bevformer_wrapper.py:9-94 used as the model itself, keys
+    ``bevformer.* / decoder.* / cls_head / reg_head``) ->
+    models/bevformer_ref.RefBEVFormerDetector variables."""
+    cam = convert_bevformer_camera(
+        sd.sub("bevformer"),
+        (margs or {}).get("camera", {}).get("backbone", "resnet50"))
+    num_layer = ((margs or {}).get("decoder", {})
+                 or {}).get("num_layer", 2)
+    # wrapper attr 'decoder' holds a NaiveDecoder whose own ModuleList
+    # is also named 'decoder' -> keys decoder.decoder.{k}
+    dp, ds = convert_naive_decoder(sd.sub("decoder"), num_layer)
+    params = {
+        "bevformer": cam["params"],
+        "decoder": dp,
+        "head": {"Conv_0": conv(sd, "cls_head"),
+                 "Conv_1": conv(sd, "reg_head")},
+    }
+    stats = {"bevformer": cam["batch_stats"], "decoder": ds}
+    dead = sd.mark_dead([
+        "bevformer.pts_bbox_head.transformer.decoder",
+        "bevformer.pts_bbox_head.transformer.reference_points",
+        "bevformer.pts_bbox_head.transformer.can_bus_mlp",
+        "bevformer.pts_bbox_head.query_embedding",
+        "bevformer.pts_bbox_head.cls_branches",
+        "bevformer.pts_bbox_head.reg_branches",
+        "bevformer.pts_bbox_head.code_weights",
+    ])
+    return {"params": params, "batch_stats": stats,
+            "dead_reference_keys": dead,
+            "camera_num_layers": cam["num_layers"]}
+
+
 CONVERTERS = {
     "point_pillar": lambda sd, margs, prefix: convert_point_pillar(sd, margs),
     "fax": lambda sd, margs, prefix: convert_fax_module(sd, prefix or "fax"),
@@ -710,6 +744,8 @@ CONVERTERS = {
         if k in ("params", "batch_stats")},
     "bevformer_point_pillar_hetero":
         lambda sd, margs, prefix: convert_flagship(sd, margs),
+    "bevformer_wrapper":
+        lambda sd, margs, prefix: convert_bevformer_wrapper(sd, margs),
 }
 
 

@@ -1128,6 +1128,78 @@ def test_parallel_architect_checkpoint_round_trip(tmp_path):
                                atol=3e-4, rtol=3e-4)
 
 
+def test_bevformer_wrapper_late_fusion_round_trip(tmp_path):
+    """The reference's STANDALONE ``bevformer_wrapper`` late-fusion
+    camera detector (trunk + NaiveDecoder + cls/reg heads used as the
+    model itself, bevformer_wrapper.py:77-94 without return_features;
+    the opcl/bevformer_late_fusion.yaml family) ports via
+    ``--core_method bevformer_wrapper`` into RefBEVFormerDetector with
+    forward equality."""
+    import jax
+    import jax.numpy as jnp
+
+    _install_reference()
+    from opencood.models.sub_modules.naive_decoder import (
+        NaiveDecoder as RefNaiveDecoder,
+    )
+
+    from hmvit_tpu.models.bevformer_ref import RefBEVFormerDetector
+
+    trunk = _build_torch_trunk(seed=43)
+
+    class Wrapper(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.bevformer = trunk
+            self.decoder = RefNaiveDecoder(
+                {"input_dim": 32, "num_layer": 1, "num_ch_dec": [32]})
+            self.cls_head = tnn.Conv2d(32, 2, kernel_size=1)
+            self.reg_head = tnn.Conv2d(32, 14, kernel_size=1)
+
+        def forward(self, img, l2i):
+            bev = self.bevformer(img, l2i)
+            bev = bev.unflatten(1, [8, 8]).permute(0, 3, 1, 2)
+            x = self.decoder(bev.unsqueeze(1),
+                             use_upsample=False).squeeze(1)
+            return self.cls_head(x), self.reg_head(x)
+
+    ref = Wrapper().eval()
+    _randomize_bn(ref)
+    path = os.path.join(str(tmp_path), "net_epoch5.pth")
+    torch.save(ref.state_dict(), path)
+
+    margs = {"camera": {"backbone": "resnet50"},
+             "decoder": {"num_layer": 1}}
+    result, unused = convert(path, "bevformer_wrapper", margs)
+    assert unused == [], unused
+
+    rng = np.random.default_rng(17)
+    B, L, M, IMG = 1, 2, 2, 64
+    imgs, intr, extr = _make_camera_inputs(rng, L, M, (IMG, IMG))
+    with torch.no_grad():
+        # the wrapper decodes the EGO agent; run it on slot 0 only
+        l2i = _torch_lidar2img(intr[:1], extr[:1])
+        want_psm, want_rm = ref(
+            torch.from_numpy(imgs[:1].transpose(0, 1, 4, 2, 3)),
+            torch.from_numpy(l2i))
+
+    cfg = {"camera": dict(_CAM_CFG, num_layers=2),
+           "anchor_number": 2,
+           "decoder": {"num_layer": 1, "num_ch_dec": [32]}}
+    model = RefBEVFormerDetector(cfg)
+    batch = {"camera": jnp.asarray(imgs[None]),
+             "intrinsics": jnp.asarray(intr[None]),
+             "extrinsics": jnp.asarray(extr[None])}
+    variables = {k: jax.tree_util.tree_map(jnp.asarray, v)
+                 for k, v in result.items()
+                 if k in ("params", "batch_stats")}
+    out = model.apply(variables, batch)
+    np.testing.assert_allclose(np.asarray(out["psm"], np.float32),
+                               want_psm.numpy(), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["rm"], np.float32),
+                               want_rm.numpy(), atol=5e-4, rtol=5e-4)
+
+
 def test_hetero_decoder_round_trip(tmp_path):
     """Reference HeteroDecoder -> our HeteroDecoder, both ego modes."""
     import jax
