@@ -38,9 +38,12 @@ def test_performance_runner_report(tmp_path):
         assert report["flops_per_frame"] > 0
         assert report["gmacs"] > 0
     # the xplane capture must have produced a profile the analyzer
-    # (tools/profile.py) can consume
+    # (tools/profile.py) can consume — drive the analyzer on it too
     prof_root = os.path.join(trace_dir, "plugins", "profile")
     assert os.path.isdir(prof_root) and os.listdir(prof_root)
+    from hmvit_tpu.tools import profile as profile_tool
+
+    profile_tool.main([trace_dir, "--frames", "1", "--top", "5"])
     # report is one parseable JSON object (the CLI contract)
     json.dumps(report)
     assert np.isfinite(report["fps"])
