@@ -301,8 +301,12 @@ def main(argv=None):
         to_jnp's transfers are thread-safe)."""
         frame = dataset[i]
         if args.fusion_method == "late":
-            subs = [(sub, to_jnp(dataset.collate_batch([sub])))
-                    for sub in dataset.late_fusion_frame(i)]
+            subs = []
+            for sub in dataset.late_fusion_frame(i):
+                jb = to_jnp(dataset.collate_batch([sub]))
+                if bf16_batch is not None:
+                    jb = bf16_batch(jb)
+                subs.append((sub, jb))
             return frame, subs
         if args.fusion_method == "early":
             frame = dataset.early_fusion_frame(i)
